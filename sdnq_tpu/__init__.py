@@ -1,0 +1,32 @@
+"""SDNQ-TPU: a TPU-native quantized inference & training engine.
+
+Brand-new JAX/XLA/Pallas implementation of the capability space of
+Disty0/sdnq (reference mounted at /root/reference): 1-16 bit int/uint/fp/ufp
+weight storage with group-wise scales, Hadamard rotation, SVD low-rank
+correction, fused INT8/FP8 quantized matmul and quantized flash attention —
+plus the multi-chip execution layer (mesh/pjit sharding, quantized
+collectives) the reference delegates to torch FSDP.
+"""
+
+__version__ = "0.1.0"
+
+from .formats import (
+    FORMATS,
+    WEIGHTS_DTYPE_ORDER,
+    ACCEPTED_MATMUL_DTYPES,
+    Format,
+    get_format,
+    resolve_alias,
+    default_matmul_format,
+)
+
+__all__ = [
+    "FORMATS",
+    "WEIGHTS_DTYPE_ORDER",
+    "ACCEPTED_MATMUL_DTYPES",
+    "Format",
+    "get_format",
+    "resolve_alias",
+    "default_matmul_format",
+    "__version__",
+]

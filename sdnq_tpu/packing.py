@@ -1,0 +1,202 @@
+"""Bit-packing codecs for sub-byte / non-hardware-width storage.
+
+Covers the capability of the reference's ``packed_int/`` and
+``packed_float.py`` (closed-form per-width shift/mask packing,
+/root/reference/src/sdnq/packed_int/pack.py, packed_float.py:25-129) with a
+different, TPU-first design: a single **bit-plane layout** for every width
+1..16 instead of 15 hand-written layouts.
+
+Layout
+------
+For a k-bit format, the last axis of the code array (length C, padded to a
+multiple of 8) is stored as k bit-planes of C/8 bytes each, concatenated
+along the last axis into one uint8 array of shape ``(..., k * C/8)``:
+
+    plane j, byte b, bit i  ==  bit j of code[..., 8*b + i]
+
+This is exactly k bits/value (as tight as the reference), is a single code
+path for all widths, unpacks with k shift/and/accumulate vector ops on the
+VPU, and keeps regular strides so the unpack fuses into Pallas matmul
+prologues.  Signed integers are stored offset-binary (``x - min``) like the
+reference (packed_int/__init__.py).
+
+Float codes use the generic finite-minifloat codec below (sign | exponent |
+mantissa fields, RTNE on encode, subnormals flush to scaled-linear), the
+same numerics as the reference's fp32-bit-twiddling codec
+(packed_float.py:25-129) re-derived for JAX.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .formats import Format, get_format
+
+__all__ = [
+    "pad_to_multiple",
+    "pack_codes",
+    "unpack_codes",
+    "encode_float",
+    "decode_float",
+    "pack",
+    "unpack",
+]
+
+
+def pad_to_multiple(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def pack_codes(codes: jax.Array, num_bits: int) -> jax.Array:
+    """Pack non-negative integer codes (< 2**num_bits) into bit-planes.
+
+    codes: integer array (..., C). Returns uint8 (..., num_bits * ceil(C/8)).
+    """
+    c = codes.shape[-1]
+    cpad = pad_to_multiple(c, 8)
+    codes = codes.astype(jnp.uint32)
+    if cpad != c:
+        codes = jnp.pad(codes, [(0, 0)] * (codes.ndim - 1) + [(0, cpad - c)])
+    # (..., C/8, 8)
+    grouped = codes.reshape(*codes.shape[:-1], cpad // 8, 8)
+    bit_idx = jnp.arange(8, dtype=jnp.uint32)
+    planes = []
+    for j in range(num_bits):
+        bits = (grouped >> j) & 1  # (..., C/8, 8)
+        byte = jnp.sum(bits << bit_idx, axis=-1).astype(jnp.uint8)  # (..., C/8)
+        planes.append(byte)
+    return jnp.concatenate(planes, axis=-1)
+
+
+def unpack_codes(packed: jax.Array, num_bits: int, c: int,
+                 out_dtype=jnp.int32) -> jax.Array:
+    """Inverse of :func:`pack_codes`. Returns (..., c) array of codes."""
+    cpad = pad_to_multiple(c, 8)
+    nbytes = cpad // 8
+    planes = packed.reshape(*packed.shape[:-1], num_bits, nbytes)
+    bit_idx = jnp.arange(8, dtype=jnp.uint8)
+    # (..., num_bits, C/8, 8) -> bits of each value
+    bits = (planes[..., None] >> bit_idx) & 1
+    bits = bits.reshape(*packed.shape[:-1], num_bits, cpad).astype(out_dtype)
+    weights = jnp.asarray(1, out_dtype) << jnp.arange(num_bits, dtype=out_dtype)
+    vals = jnp.sum(bits * weights[:, None], axis=-2)
+    return vals[..., :c]
+
+
+# ---------------------------------------------------------------------------
+# Generic finite minifloat codec (sign | e exponent bits | m mantissa bits).
+# ---------------------------------------------------------------------------
+
+def encode_float(x: jax.Array, fmt: Format,
+                 sr_bits: jax.Array | None = None) -> jax.Array:
+    """Encode fp32 values (already clamped to [fmt.min, fmt.max]) to integer
+    codes of fmt.num_bits bits.
+
+    RTNE on mantissa truncation; values below the minimum normal flush to the
+    scaled-linear subnormal range; optional stochastic rounding via uniform
+    ``sr_bits`` (uint32) added to the fp32 mantissa before truncation.
+    """
+    e, m, bias = fmt.exponent, fmt.mantissa, fmt.bias
+    x = x.astype(jnp.float32)
+    bits = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    sign = (bits >> 31) & jnp.uint32(1)
+    abs_bits = (bits & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+
+    shift = 23 - m
+    if sr_bits is not None:
+        jitter = (sr_bits % jnp.uint32(1 << shift)).astype(jnp.int32)
+        rounded = (abs_bits + jitter) >> shift
+    else:
+        # round-to-nearest-even at bit position `shift`
+        lsb = (abs_bits >> shift) & 1
+        rounded = (abs_bits + ((1 << (shift - 1)) - 1) + lsb) >> shift
+    # rounded = (exp32 << m) | mant_m, with mantissa carry propagating into
+    # the exponent field naturally.
+    exp_mant = rounded  # biased-127 exponent in high bits
+    # Re-bias: subtract (127 - bias) << m.
+    code = exp_mant - ((127 - bias) << m)
+
+    # Subnormal / underflow: value < 2^(1-bias)  <=>  code < (1 << m).
+    # Linear code: round(|x| / 2^(1-bias-m)).
+    absx = jnp.abs(x)
+    sub_scale = np.float32(2.0 ** (bias - 1 + m))
+    sub_rel = absx * sub_scale
+    if sr_bits is not None:
+        u = (sr_bits >> jnp.uint32(8)).astype(jnp.float32) * np.float32(2.0 ** -24)
+        sub_code = jnp.floor(sub_rel + u).astype(jnp.int32)
+    else:
+        sub_code = jnp.round(sub_rel).astype(jnp.int32)  # RTNE via jnp.round
+    is_sub = exp_mant < ((127 - bias + 1) << m)
+    code = jnp.where(is_sub, sub_code, code)
+
+    max_code = ((1 << e) - 1 << m) | ((1 << m) - 1)
+    code = jnp.clip(code, 0, max_code)
+    if not fmt.is_unsigned:
+        code = code | (sign.astype(jnp.int32) << (e + m))
+    return code
+
+
+def decode_float(code: jax.Array, fmt: Format,
+                 dtype=jnp.float32) -> jax.Array:
+    """Decode integer codes back to floating point."""
+    e, m, bias = fmt.exponent, fmt.mantissa, fmt.bias
+    code = code.astype(jnp.int32)
+    if not fmt.is_unsigned:
+        sign = (code >> (e + m)) & 1
+        code = code & ((1 << (e + m)) - 1)
+    else:
+        sign = None
+    exp_field = code >> m
+    mant = (code & ((1 << m) - 1)).astype(jnp.float32)
+    # normal: (1 + mant/2^m) * 2^(exp_field - bias)
+    # subnormal (exp_field == 0): mant * 2^(1 - bias - m)
+    normal = (1.0 + mant * np.float32(2.0 ** -m)) * jnp.exp2(
+        (exp_field - bias).astype(jnp.float32))
+    subnormal = mant * np.float32(2.0 ** (1 - bias - m))
+    val = jnp.where(exp_field == 0, subnormal, normal)
+    if sign is not None:
+        val = jnp.where(sign == 1, -val, val)
+    return val.astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# Top-level pack/unpack used by the quantizer.
+# ---------------------------------------------------------------------------
+
+def pack(q: jax.Array, fmt: Format, sr_bits: jax.Array | None = None) -> jax.Array:
+    """Pack quantized values into the bit-plane representation.
+
+    For integers `q` holds (possibly negative) quantized integers; they are
+    stored offset-binary.  For floats `q` holds fp32 values in-range; they
+    are encoded through the minifloat codec first.
+    """
+    if not fmt.is_packed:
+        raise ValueError(f"{fmt.name} is not a packed format")
+    if fmt.is_integer:
+        codes = q.astype(jnp.int32) - jnp.int32(int(fmt.min))
+    else:
+        codes = encode_float(q, fmt, sr_bits=sr_bits)
+    return pack_codes(codes, fmt.code_bits)
+
+
+def unpack(packed: jax.Array, fmt: Format, c: int, dtype=jnp.float32) -> jax.Array:
+    """Unpack bit-planes back to quantized values.
+
+    Integers return as signed integers (int32, or int8 when they fit) unless
+    a float dtype is requested; floats decode to `dtype`.
+    """
+    codes = unpack_codes(packed, fmt.code_bits, c)
+    if fmt.is_integer:
+        vals = codes + jnp.int32(int(fmt.min))
+        return vals.astype(dtype)
+    return decode_float(codes, fmt, dtype=dtype)
+
+
+def quantize_to_float_format(x: jax.Array, fmt: Format) -> jax.Array:
+    """Round fp32 values to the representable set of `fmt` (encode+decode).
+
+    Mirrors the reference's behaviour where quantized float weights are kept
+    in fp32 but constrained to the target format's grid."""
+    return decode_float(encode_float(x, fmt), fmt)

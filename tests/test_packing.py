@@ -1,0 +1,111 @@
+"""Round-trip and golden tests for the bit-plane packer and minifloat codec."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from sdnq_tpu.formats import get_format
+from sdnq_tpu.packing import (
+    pack, unpack, pack_codes, unpack_codes, encode_float, decode_float,
+)
+
+
+@pytest.mark.parametrize("k", [1, 2, 3, 4, 5, 6, 7, 9, 10, 12, 15])
+def test_pack_codes_roundtrip(k):
+    rng = np.random.default_rng(k)
+    codes = rng.integers(0, 2 ** k, size=(4, 64), dtype=np.int64)
+    packed = pack_codes(jnp.asarray(codes), k)
+    assert packed.dtype == jnp.uint8
+    assert packed.shape == (4, k * 8)  # tight: k bits per value
+    out = unpack_codes(packed, k, 64)
+    np.testing.assert_array_equal(np.asarray(out), codes)
+
+
+def test_pack_codes_pads_non_multiple_of_8():
+    codes = jnp.arange(13, dtype=jnp.int32) % 4
+    packed = pack_codes(codes, 2)
+    out = unpack_codes(packed, 2, 13)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(codes))
+
+
+@pytest.mark.parametrize("name", ["int4", "int3", "int7", "int12", "uint4",
+                                  "uint2", "uint9"])
+def test_int_pack_roundtrip(name):
+    fmt = get_format(name)
+    rng = np.random.default_rng(0)
+    vals = rng.integers(int(fmt.min), int(fmt.max) + 1, size=(8, 32))
+    packed = pack(jnp.asarray(vals, jnp.int32), fmt)
+    out = unpack(packed, fmt, 32, dtype=jnp.int32)
+    np.testing.assert_array_equal(np.asarray(out), vals)
+
+
+@pytest.mark.parametrize("name", [
+    "float8_e4m3fn_sdnq", "float8_e5m2fn", "float6_e3m2fn", "float4_e2m1fn",
+    "float12_e3m8fn", "float16_e5m10fn", "float8_e4m4fnu", "float4_e2m2fnu",
+    "float2_e1m0fn", "float1_e1m0fnu",
+])
+def test_float_codec_roundtrip_on_grid(name):
+    """Every representable value must encode/decode exactly."""
+    fmt = get_format(name)
+    codes = np.arange(2 ** fmt.num_bits, dtype=np.int32)
+    vals = decode_float(jnp.asarray(codes), fmt)
+    re = encode_float(vals, fmt)
+    redec = decode_float(re, fmt)
+    # -0.0 and +0.0 decode equal; compare values not codes.
+    np.testing.assert_allclose(np.asarray(redec), np.asarray(vals), rtol=0)
+
+
+@pytest.mark.parametrize("name", ["float8_e4m3fn_sdnq", "float6_e3m2fn",
+                                  "float4_e2m1fn", "float8_e4m4fnu"])
+def test_float_codec_max_min(name):
+    fmt = get_format(name)
+    enc = encode_float(jnp.asarray([fmt.max], jnp.float32), fmt)
+    assert float(decode_float(enc, fmt)[0]) == pytest.approx(fmt.max)
+    if not fmt.is_unsigned:
+        enc = encode_float(jnp.asarray([fmt.min], jnp.float32), fmt)
+        assert float(decode_float(enc, fmt)[0]) == pytest.approx(fmt.min)
+
+
+def test_float_codec_rtne():
+    # e2m1: representable {0, .25(sub), .5, .75(sub? no)...}; grid around 1.0:
+    # values 1.0, 1.5, 2.0 ... midpoint 1.25 must round to even (1.0).
+    fmt = get_format("float4_e2m1fn")
+    x = jnp.asarray([1.25, 1.75], jnp.float32)
+    dec = decode_float(encode_float(x, fmt), fmt)
+    assert float(dec[0]) == 1.0  # ties-to-even
+    assert float(dec[1]) == 2.0
+
+
+def test_e4m3_matches_ml_dtypes_grid():
+    """Our generic codec on e4m3 must reproduce XLA's float8_e4m3fn rounding
+    for in-range values (sdnq variant extends max to 480 but shares the grid
+    below 448)."""
+    fmt = get_format("float8_e4m3fn_sdnq")
+    rng = np.random.default_rng(1)
+    x = rng.uniform(-440, 440, size=2048).astype(np.float32)
+    ours = np.asarray(decode_float(encode_float(jnp.asarray(x), fmt), fmt))
+    xla = np.asarray(jnp.asarray(x).astype(jnp.float8_e4m3fn).astype(jnp.float32))
+    np.testing.assert_array_equal(ours, xla)
+
+
+def test_packed_float_roundtrip():
+    fmt = get_format("float6_e3m2fn")
+    rng = np.random.default_rng(2)
+    x = rng.uniform(fmt.min, fmt.max, size=(4, 40)).astype(np.float32)
+    grid = decode_float(encode_float(jnp.asarray(x), fmt), fmt)
+    packed = pack(jnp.asarray(x), fmt)
+    assert packed.shape == (4, fmt.num_bits * 5)
+    out = unpack(packed, fmt, 40)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(grid))
+
+
+def test_subnormal_handling():
+    fmt = get_format("float8_e4m3fn_sdnq")  # bias 7, min normal 2^-6
+    min_normal = 2.0 ** (1 - fmt.bias)
+    min_sub = min_normal * 2.0 ** -fmt.mantissa
+    xs = jnp.asarray([0.0, min_sub, 2.5 * min_sub, 0.4 * min_sub], jnp.float32)
+    dec = np.asarray(decode_float(encode_float(xs, fmt), fmt))
+    assert dec[0] == 0.0
+    assert dec[1] == pytest.approx(min_sub)
+    assert dec[2] == pytest.approx(2.0 * min_sub)  # RTNE: 2.5 -> 2 (even)
+    assert dec[3] == 0.0  # 0.4 ulp rounds to zero
