@@ -19,6 +19,11 @@ from .formats import (
     resolve_alias,
     default_matmul_format,
 )
+from .config import QuantConfig
+from .tensor import QTensor, QuantMeta, quantize_tensor, dequantize
+from .dynamic import quantize_tensor_dynamic, quantization_loss
+from .apply import quantize_model, dequantize_model, model_memory_footprint
+from .layers import qlinear, qconv, qembedding
 
 __all__ = [
     "FORMATS",
@@ -28,5 +33,18 @@ __all__ = [
     "get_format",
     "resolve_alias",
     "default_matmul_format",
+    "QuantConfig",
+    "QTensor",
+    "QuantMeta",
+    "quantize_tensor",
+    "dequantize",
+    "quantize_tensor_dynamic",
+    "quantization_loss",
+    "quantize_model",
+    "dequantize_model",
+    "model_memory_footprint",
+    "qlinear",
+    "qconv",
+    "qembedding",
     "__version__",
 ]

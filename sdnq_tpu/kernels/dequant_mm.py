@@ -1,0 +1,240 @@
+"""Weight-only quantized matmul: bf16/fp32 activations × packed/int8 weights
+with the unpack + dequantize fused into the MXU matmul *prologue*.
+
+This is the kernel the BASELINE calls out ("dequant fused into the MXU
+matmul epilogue/prologue rather than materialized"): the reference instead
+materializes the dequantized weight then calls F.linear
+(/root/reference/src/sdnq/layers/linear/forward.py:22, dequantizer.py:89-111).
+On TPU we never materialize in HBM: each (BN, BK) weight tile is unpacked
+from its bit-planes and scaled inside VMEM right before feeding the MXU.
+
+Mosaic tiling notes: the packed byte-plane array (O, n_planes, K/8) has a
+lane axis 8× narrower than the value axis, so dynamic per-K-tile byte slices
+can't be proven 128-aligned.  The kernel therefore grids over (M, O) blocks
+only, keeps the full-K extent of x/weights/scales resident in VMEM per
+block, and walks K in a *statically unrolled* tile loop — every slice offset
+is a compile-time constant, which Mosaic tiles without alignment proofs.
+Grid-step pipelining still double-buffers the next (i, j) block during
+compute.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .dispatch import use_pallas, pallas_interpret, kernel_backend
+from ..formats import Format, get_format
+from ..packing import decode_float
+
+__all__ = ["dequant_matmul"]
+
+# VMEM budget for one block's resident operands (x + w rows, full K).
+_TILE_BUDGET = 6 * 1024 * 1024
+_MAX_K = 32768
+
+
+def _dequant_mm_kernel(x_ref, wq_ref, scale_ref, zp_ref, bias_ref, out_ref,
+                       *, packed: bool, code_bits: int, code_min: int,
+                       is_float_fmt: bool, fmt_name: str, g: int, bn: int,
+                       bk: int, n_k: int, has_zp: bool, has_bias: bool):
+    acc = None
+    for kt in range(n_k):
+        k0 = kt * bk
+        if packed:
+            # segment-major layout: segment kt of the row lives in bit
+            # position kt of every byte plane — unpack is pure lane-wise
+            # shift/mask, no reshape (see packing.py docstring)
+            codes = None
+            for j in range(code_bits):
+                plane = wq_ref[:, j, :].astype(jnp.int32)   # (BN, K/8)
+                bit = (plane >> kt) & 1
+                codes = bit if codes is None else codes | (bit << j)
+            if is_float_fmt:
+                vals = decode_float(codes, get_format(fmt_name),
+                                    dtype=jnp.float32)
+            else:
+                vals = (codes + code_min).astype(jnp.float32)
+        else:
+            vals = wq_ref[:, k0:k0 + bk].astype(jnp.float32)
+
+        if g >= bk:
+            gi = k0 // g
+            scale = scale_ref[:, gi:gi + 1].astype(jnp.float32)
+            w = vals * scale
+            if has_zp:
+                w = w + zp_ref[:, gi:gi + 1].astype(jnp.float32)
+        else:
+            sg = bk // g
+            gi = k0 // g
+            scale = scale_ref[:, gi:gi + sg].astype(jnp.float32)
+            w = vals * jnp.repeat(scale, g, axis=-1)
+            if has_zp:
+                w = w + jnp.repeat(
+                    zp_ref[:, gi:gi + sg].astype(jnp.float32), g, axis=-1)
+        wt = w.astype(x_ref.dtype)
+
+        part = jax.lax.dot_general(
+            x_ref[:, k0:k0 + bk], wt, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc = part if acc is None else acc + part
+
+    if has_bias:
+        acc = acc + bias_ref[:].astype(jnp.float32)
+    out_ref[:] = acc.astype(out_ref.dtype)
+
+
+def _pick_block(dim: int, preferred: int, align: int) -> int:
+    if dim >= preferred:
+        return preferred
+    b = align
+    while b * 2 <= dim:
+        b *= 2
+    return max(b, min(dim, align))
+
+
+def _choose_k_tile(kdim: int, g: int, preferred: int = 512) -> int:
+    """Largest K tile that divides kdim, is a multiple of 128 (MXU lanes)
+    and of 8 (byte planes), and aligns with the scale groups.  Returns 0 if
+    impossible (caller falls back to XLA)."""
+    if kdim % 128 != 0 or kdim > _MAX_K:
+        return 0
+    for b in range(min(preferred, kdim), 0, -128):
+        if kdim % b == 0 and (g % b == 0 or b % g == 0):
+            return b
+    return 0
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "fmt_name", "code_bits", "code_min", "is_float_fmt", "packed",
+    "group_size", "out_dtype", "bm", "bn", "bk"))
+def _dequant_mm_pallas(x, wq, scale, zp, bias, *, fmt_name, code_bits,
+                       code_min, is_float_fmt, packed, group_size,
+                       out_dtype, bm=256, bn=512, bk=512):
+    m, kdim = x.shape
+    o = wq.shape[0]
+    g = group_size if group_size > 0 else kdim
+    if packed:
+        bk_ = kdim // 8  # one bit-plane segment per K step
+        n_k = 8
+    else:
+        bk_ = _choose_k_tile(kdim, g, bk)
+        n_k = kdim // bk_ if bk_ else 0
+    assert bk_ > 0, "caller must pre-check tiling feasibility"
+
+    # Full-K rows are resident: bound block sizes by the VMEM budget.
+    x_row = kdim * x.dtype.itemsize
+    w_row = (code_bits * kdim // 8) if packed else kdim
+    bm_ = _pick_block(m, bm, 8)
+    while bm_ > 8 and bm_ * x_row > _TILE_BUDGET // 2:
+        bm_ //= 2
+    bn_ = _pick_block(o, bn, 128)
+    while bn_ > 128 and bn_ * w_row > _TILE_BUDGET // 2:
+        bn_ //= 2
+    n_i, n_j = pl.cdiv(m, bm_), pl.cdiv(o, bn_)
+    n_groups = scale.shape[-1]
+
+    has_zp = zp is not None
+    has_bias = bias is not None
+    zp_in = zp if has_zp else jnp.zeros_like(scale)
+    bias_in = (bias.reshape(1, -1) if has_bias
+               else jnp.zeros((1, o), jnp.float32))
+
+    if packed:
+        wq_in = wq.reshape(o, code_bits, kdim // 8)
+        w_spec = pl.BlockSpec((bn_, code_bits, kdim // 8),
+                              lambda i, j: (j, 0, 0),
+                              memory_space=pltpu.VMEM)
+    else:
+        wq_in = wq
+        w_spec = pl.BlockSpec((bn_, kdim), lambda i, j: (j, 0),
+                              memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(
+        _dequant_mm_kernel, packed=packed, code_bits=code_bits,
+        code_min=code_min, is_float_fmt=is_float_fmt, fmt_name=fmt_name,
+        g=g, bn=bn_, bk=bk_, n_k=n_k, has_zp=has_zp, has_bias=has_bias)
+
+    flops = 2 * m * o * kdim
+    bytes_accessed = (m * kdim * x.dtype.itemsize
+                      + wq_in.size * wq_in.dtype.itemsize
+                      + m * o * jnp.dtype(out_dtype).itemsize)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_i, n_j),
+        in_specs=[
+            pl.BlockSpec((bm_, kdim), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            w_spec,
+            pl.BlockSpec((bn_, n_groups), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn_, n_groups), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn_), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm_, bn_), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, o), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0),
+        interpret=pallas_interpret(),
+    )(x, wq_in, scale, zp_in, bias_in)
+
+
+def dequant_matmul(x: jax.Array, wq: jax.Array, scale: jax.Array,
+                   zero_point: jax.Array | None, bias: jax.Array | None,
+                   fmt: Format, group_size: int,
+                   out_dtype=jnp.bfloat16) -> jax.Array:
+    """y = x @ dequant(wq).T + bias with fused unpack/dequant.
+
+    x: (M, K) bf16/fp32.  wq: packed uint8 (O, code_bits*K/8) or int8 (O, K).
+    scale/zero_point: (O, G) groupwise along K.  Falls back to XLA
+    (unpack -> dequant -> dot, fused by the compiler) off-TPU or for
+    group/tile geometries Mosaic can't tile."""
+    m, kdim = x.shape
+    o = wq.shape[0]
+    packed = fmt.is_packed
+    g = group_size if group_size > 0 else kdim
+    if packed:
+        # segment tiling: segments of K/8 values must align with groups and
+        # with the 128-lane layout
+        segw = kdim // 8
+        pallas_ok = (kdim % 1024 == 0 and kdim <= _MAX_K
+                     and (g % segw == 0 or segw % g == 0))
+    else:
+        pallas_ok = kdim % 8 == 0 and _choose_k_tile(kdim, g) > 0
+    if use_pallas() and pallas_ok:
+        # bf16 activations halve the resident x rows on real TPUs (the MXU
+        # multiplies in bf16 regardless); keep fp32 under interpret mode so
+        # CPU kernel tests stay bit-faithful.
+        xk = (x.astype(jnp.bfloat16)
+              if x.dtype == jnp.float32 and kernel_backend() == "pallas"
+              else x)
+        return _dequant_mm_pallas(
+            xk, wq, scale, zero_point, bias,
+            fmt_name=fmt.name, code_bits=fmt.code_bits,
+            code_min=int(fmt.min) if fmt.is_integer else 0,
+            is_float_fmt=not fmt.is_integer, packed=packed,
+            group_size=group_size, out_dtype=jnp.dtype(out_dtype))
+    # XLA fallback
+    from ..packing import unpack as _unpack
+    if packed:
+        vals = _unpack(wq, fmt, kdim, dtype=jnp.float32)
+    else:
+        vals = wq.astype(jnp.float32)
+    vals = vals.reshape(o, kdim // g, g) * scale[..., None]
+    if zero_point is not None:
+        vals = vals + zero_point[..., None]
+    w = vals.reshape(o, kdim).astype(x.dtype)
+    out = jax.lax.dot_general(x, w, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    return out.astype(out_dtype)

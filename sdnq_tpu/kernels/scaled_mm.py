@@ -1,0 +1,218 @@
+"""Fused scaled matmul kernels: the TPU re-design of the reference's Triton
+scaled-MM (/root/reference/src/sdnq/kernels/triton_scaled_mm.py:23-108) and
+plain low-precision MM (triton_mm.py:23-100).
+
+Semantics: ``out = (x_q · w_qᵀ) * x_scale * w_scaleᵀ (+ bias)`` where x_q is
+(M, K) and w_q is (O, K) in *natural* orientation (no transposed storage —
+the MXU contracts either orientation).  int8×int8 accumulates in int32 on
+the MXU; fp8×fp8 accumulates in fp32 (TPU v5e+); the "fp16" family maps to
+bf16 multiplies with fp32 accumulation (TPU has no fp16 ALU advantage and
+bf16 carries fp32 exponent range, so the reference's sqrt(scale·K)
+overflow-guard trick for fp16 GEMMs is unnecessary — see
+kernel_wrappers.py:117-125 for what this replaces).
+
+Two implementations per op:
+  * Pallas (TPU): tiled MXU kernel with the dequant epilogue fused — the
+    int32/fp32 accumulator never round-trips through HBM.
+  * XLA fallback (CPU/interpret): dot_general + elementwise epilogue.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .dispatch import use_pallas, pallas_interpret
+
+__all__ = ["scaled_mm", "int8_mm", "fp8_mm", "bf16_scaled_mm"]
+
+
+def _epilogue_dtype(out_dtype):
+    return jnp.dtype(out_dtype)
+
+
+# ---------------------------------------------------------------------------
+# XLA fallback
+# ---------------------------------------------------------------------------
+
+def _scaled_mm_xla(x_q, w_q, x_scale, w_scale, bias, out_dtype, acc_dtype):
+    acc = jax.lax.dot_general(
+        x_q, w_q, (((1,), (1,)), ((), ())), preferred_element_type=acc_dtype)
+    out = acc.astype(jnp.float32)
+    if x_scale is not None:
+        out = out * x_scale.astype(jnp.float32)
+    if w_scale is not None:
+        out = out * w_scale.astype(jnp.float32).reshape(1, -1)
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    return out.astype(out_dtype)
+
+
+# ---------------------------------------------------------------------------
+# Pallas TPU kernel
+# ---------------------------------------------------------------------------
+
+def _mm_kernel(x_ref, w_ref, xs_ref, ws_ref, bias_ref, out_ref, acc_ref,
+               *, acc_dtype, n_k, has_xs, has_ws, has_bias):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jax.lax.dot_general(
+        x_ref[:], w_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=acc_dtype)
+
+    @pl.when(k == n_k - 1)
+    def _():
+        out = acc_ref[:].astype(jnp.float32)
+        if has_xs:
+            out = out * xs_ref[:].astype(jnp.float32)          # (BM, 1)
+        if has_ws:
+            out = out * ws_ref[:].astype(jnp.float32)          # (1, BN)
+        if has_bias:
+            out = out + bias_ref[:].astype(jnp.float32)        # (1, BN)
+        out_ref[:] = out.astype(out_ref.dtype)
+
+
+def _pick_block(dim: int, preferred: int, align: int) -> int:
+    if dim >= preferred:
+        return preferred
+    b = align
+    while b * 2 <= dim:
+        b *= 2
+    return b
+
+
+def _pick_k_block(kdim: int, preferred: int) -> int:
+    """K blocks must tile K exactly: a partial block would accumulate
+    out-of-bounds garbage into the running sum (M/O partial blocks are safe —
+    their garbage lands in discarded output rows/cols).  Returns the largest
+    multiple of 128 that divides kdim and is <= preferred, or 0 if K needs
+    zero-padding first."""
+    if kdim % 128 != 0:
+        return 0
+    for b in range(min(preferred, kdim), 0, -128):
+        if kdim % b == 0:
+            return b
+    return 0
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("out_dtype", "acc_dtype", "bm", "bn", "bk"),
+)
+def _scaled_mm_pallas(x_q, w_q, x_scale, w_scale, bias,
+                      out_dtype=jnp.bfloat16, acc_dtype=jnp.int32,
+                      bm=512, bn=512, bk=512):
+    m, kdim = x_q.shape
+    o, _ = w_q.shape
+    sublane = 32 if x_q.dtype.itemsize == 1 else 8
+    bm_ = _pick_block(m, bm, sublane)
+    bn_ = _pick_block(o, bn, 128)
+    bk_ = _pick_k_block(kdim, bk)
+    if bk_ == 0:  # zero-pad K (zeros contribute nothing to the dot)
+        kpad = (kdim + 127) // 128 * 128
+        x_q = jnp.pad(x_q, ((0, 0), (0, kpad - kdim)))
+        w_q = jnp.pad(w_q, ((0, 0), (0, kpad - kdim)))
+        kdim = kpad
+        bk_ = _pick_k_block(kdim, bk)
+    n_i, n_j, n_k = pl.cdiv(m, bm_), pl.cdiv(o, bn_), pl.cdiv(kdim, bk_)
+
+    has_xs, has_ws, has_bias = (x_scale is not None, w_scale is not None,
+                                bias is not None)
+    xs = x_scale if has_xs else jnp.zeros((m, 1), jnp.float32)
+    ws = (w_scale.reshape(1, -1) if has_ws
+          else jnp.zeros((1, o), jnp.float32))
+    b = bias.reshape(1, -1) if has_bias else jnp.zeros((1, o), jnp.float32)
+
+    kernel = functools.partial(
+        _mm_kernel, acc_dtype=acc_dtype, n_k=n_k,
+        has_xs=has_xs, has_ws=has_ws, has_bias=has_bias)
+
+    flops = 2 * m * o * kdim
+    bytes_accessed = (m * kdim * x_q.dtype.itemsize
+                      + o * kdim * w_q.dtype.itemsize
+                      + m * o * jnp.dtype(out_dtype).itemsize)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_i, n_j, n_k),
+        in_specs=[
+            pl.BlockSpec((bm_, bk_), lambda i, j, k: (i, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn_, bk_), lambda i, j, k: (j, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm_, 1), lambda i, j, k: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn_), lambda i, j, k: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn_), lambda i, j, k: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm_, bn_), lambda i, j, k: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, o), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm_, bn_), acc_dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0),
+        interpret=pallas_interpret(),
+    )(x_q, w_q, xs, ws, b)
+
+
+# ---------------------------------------------------------------------------
+# Public entry points
+# ---------------------------------------------------------------------------
+
+def scaled_mm(x_q: jax.Array, w_q: jax.Array,
+              x_scale: jax.Array | None = None,
+              w_scale: jax.Array | None = None,
+              bias: jax.Array | None = None,
+              out_dtype=jnp.bfloat16) -> jax.Array:
+    """Fused ``(x_q @ w_q.T) * x_scale * w_scale + bias``.
+
+    x_q (M, K); w_q (O, K); x_scale (M, 1) or None; w_scale (O,)/(O,1)/(1,O)
+    or None; bias (O,) or (M, O) broadcastable or None.
+    """
+    if x_q.dtype == jnp.int8:
+        acc_dtype = jnp.int32
+    else:
+        acc_dtype = jnp.float32
+    if w_scale is not None:
+        w_scale = w_scale.reshape(-1)
+    if use_pallas() and (bias is None or bias.ndim <= 1):
+        return _scaled_mm_pallas(
+            x_q, w_q, x_scale, w_scale, bias,
+            out_dtype=jnp.dtype(out_dtype), acc_dtype=acc_dtype)
+    if w_scale is not None:
+        w_scale = w_scale.reshape(1, -1)
+    return _scaled_mm_xla(x_q, w_q, x_scale, w_scale, bias, out_dtype,
+                          acc_dtype)
+
+
+def int8_mm(x_q, w_q, out_dtype=jnp.int32):
+    """Plain int8 GEMM with int32 accumulate (reference: triton_mm.py)."""
+    return jax.lax.dot_general(
+        x_q, w_q, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32).astype(out_dtype)
+
+
+def fp8_mm(x_q, w_q, out_dtype=jnp.float32):
+    return jax.lax.dot_general(
+        x_q, w_q, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(out_dtype)
+
+
+def bf16_scaled_mm(x, w, x_scale=None, w_scale=None, bias=None,
+                   out_dtype=jnp.bfloat16):
+    """16-bit scaled GEMM: bf16 multiplies, fp32 accumulate.  Replaces the
+    reference's fp16 path (no overflow guard needed on TPU)."""
+    return scaled_mm(x.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+                     x_scale, w_scale, bias, out_dtype=out_dtype)

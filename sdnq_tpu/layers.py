@@ -1,0 +1,329 @@
+"""Functional quantized layer forwards.
+
+The TPU re-design of the reference's wrapper-class forwards
+(/root/reference/src/sdnq/layers/linear/*.py, conv/*.py,
+embedding/forward.py): instead of swapping bound methods on nn.Module
+clones, these are pure functions dispatching **at trace time** on the
+QTensor's static metadata — every runtime `if` in the reference becomes a
+Python-level branch baked into one XLA program.
+
+Paths per layer:
+  * plain (weight-only quant): fused unpack+dequant+matmul Pallas kernel
+    (kernels/dequant_mm.py) — never materializes the bf16 weight in HBM,
+    which the reference's dequantize-then-F.linear path does.
+  * quantized matmul: per-token activation quantization feeding the int8 /
+    fp8 MXU via the fused scaled-matmul kernel, with the reference's
+    zero-point fold algebra (linear_uint8.py:62-68) and SVD-as-bias fold
+    (linear_int8.py:54-59).
+  * small-batch bail-out (rows < 32): trace-time static, since shapes are
+    static under jit (reference does this check at runtime: linear_int8.py:97).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .formats import get_format
+from .kernels.dequant_mm import dequant_matmul
+from .kernels.scaled_mm import scaled_mm, bf16_scaled_mm
+from .quant.core import quantize_int_mm, quantize_uint_mm, quantize_fp_mm
+from .quant.hadamard import rotate_hadamard
+from .tensor import QTensor, dequantize, CONV, CONV_TRANSPOSE
+
+__all__ = ["qlinear", "qconv", "qembedding"]
+
+_MIN_MATMUL_ROWS = 32  # reference: layers/linear/linear_int8.py:97
+
+
+# ---------------------------------------------------------------------------
+# Helpers
+# ---------------------------------------------------------------------------
+
+def _flatten_batch(x):
+    lead = x.shape[:-1]
+    rows = 1
+    for d in lead:
+        rows *= d
+    return x.reshape(rows, x.shape[-1]), lead
+
+
+def _svd_bias(x2d, qt: QTensor, bias, out_dtype):
+    """bias' = bias + (x @ down.T) @ up.T  (SVD correction folded into the
+    bias operand of the quantized matmul)."""
+    if qt.svd_up is None:
+        return bias
+    dt = qt.svd_down.dtype
+    corr = (x2d.astype(dt) @ qt.svd_down.T) @ qt.svd_up.T
+    if bias is not None:
+        corr = corr + bias.astype(corr.dtype)
+    return corr
+
+
+def _weight_as_int8(qt: QTensor):
+    """Stored row-wise int8/uint8 weight -> (w_i8, w_scale(O,1), w_zp or None).
+
+    uint8 storage feeds the signed MXU via the xor-128 shift with the
+    zero-point absorbed (reference linear_uint8.py:43-48)."""
+    q = qt.qdata
+    if q.ndim > 2:  # conv weights flatten to (O, C*prod(k)) for the GEMM
+        q = q.reshape(q.shape[0], -1)
+    scale = qt.scale.reshape(qt.scale.shape[0], -1)  # (O, 1) row-wise
+    if q.dtype == jnp.uint8:
+        w_i8 = (q ^ jnp.uint8(128)).astype(jnp.int8)
+        zp = qt.zero_point.reshape(scale.shape) if qt.zero_point is not None \
+            else jnp.zeros_like(scale)
+        zp = zp + scale * 128.0
+        return w_i8, scale, zp
+    return q, scale, qt.zero_point.reshape(scale.shape) if qt.zero_point is not None else None
+
+
+def _requantize_rowwise(qt: QTensor):
+    """Group-wise / packed storage -> row-wise matmul operands on the fly
+    (reference: dequantizer.py:115-179).  Dequantizes without SVD and
+    without undoing the Hadamard rotation (both are handled at the input
+    side of the matmul)."""
+    wd = dequantize(qt, dtype=jnp.float32, with_svd=False, with_hadamard=False)
+    if wd.ndim > 2:
+        wd = wd.reshape(wd.shape[0], -1)
+    mfmt = qt.meta.matmul_format
+    if mfmt.is_integer:
+        if mfmt.is_unsigned:
+            w_q, s, zp = quantize_uint_mm(wd, axis=-1)
+            return w_q, s, zp
+        w_q, s = quantize_int_mm(wd, axis=-1)
+        return w_q, s, None
+    if mfmt.num_bits == 8:
+        w_q, s = quantize_fp_mm(wd, axis=-1, fmt=mfmt)
+        return w_q, s, None
+    # 16-bit: bf16 scaled path
+    s = jnp.max(jnp.abs(wd), axis=-1, keepdims=True)
+    s = jnp.maximum(s, 2.0 ** -126)
+    return (wd / s).astype(jnp.bfloat16), s, None
+
+
+def _quantized_matmul_2d(x2d, qt: QTensor, bias, out_dtype):
+    """Core quantized GEMM on (M, C) input with all folds applied."""
+    meta = qt.meta
+    mfmt = meta.matmul_format
+
+    if meta.use_hadamard:
+        x2d = rotate_hadamard(x2d, meta.hadamard_group_size,
+                              precision=jax.lax.Precision.DEFAULT)
+    bias_eff = _svd_bias(x2d, qt, bias, out_dtype)
+
+    if meta.re_quantize_for_matmul:
+        w_q, w_scale, w_zp = _requantize_rowwise(qt)
+    else:
+        if mfmt.is_integer:
+            w_q, w_scale, w_zp = _weight_as_int8(qt)
+        else:
+            w_q = qt.qdata
+            if w_q.ndim > 2:
+                w_q = w_q.reshape(w_q.shape[0], -1)
+            w_scale = qt.scale.reshape(qt.scale.shape[0], -1)
+            w_zp = None
+
+    kdim = x2d.shape[-1]
+    if mfmt.is_integer:
+        if w_zp is not None or mfmt.is_unsigned:
+            # asymmetric × asymmetric zero-point algebra
+            # (reference linear_uint8.py:62-68)
+            x_q, x_scale, x_zp = quantize_uint_mm(x2d, axis=-1)
+            zero_bias = jnp.zeros((1, w_q.shape[0]), jnp.float32)
+            w_colsum = jnp.sum(w_q.astype(jnp.int32), axis=-1)[None, :] \
+                .astype(jnp.float32)
+            if w_zp is not None:
+                x_rowsum = jnp.sum(x_q.astype(jnp.int32), axis=-1,
+                                   keepdims=True).astype(jnp.float32)
+                zero_bias = (x_rowsum * x_scale) * w_zp.reshape(1, -1)
+                zero_bias = zero_bias + (w_colsum * w_scale.reshape(1, -1)) * x_zp
+                zero_bias = zero_bias + (x_zp * w_zp.reshape(1, -1)) * float(kdim)
+            else:
+                zero_bias = (w_colsum * w_scale.reshape(1, -1)) * x_zp
+            if bias_eff is not None:
+                zero_bias = zero_bias + bias_eff.astype(jnp.float32)
+            return scaled_mm(x_q, w_q, x_scale, w_scale, zero_bias,
+                             out_dtype=out_dtype)
+        x_q, x_scale = quantize_int_mm(x2d, axis=-1)
+        return scaled_mm(x_q, w_q, x_scale, w_scale, bias_eff,
+                         out_dtype=out_dtype)
+    if mfmt.num_bits == 8:
+        x_q, x_scale = quantize_fp_mm(x2d, axis=-1, fmt=mfmt)
+        return scaled_mm(x_q, w_q.astype(jnp.float8_e4m3fn), x_scale, w_scale,
+                         bias_eff, out_dtype=out_dtype)
+    # 16-bit path: bf16 multiplies, fp32 accumulate; input unquantized
+    return bf16_scaled_mm(x2d, w_q, None, w_scale, bias_eff,
+                          out_dtype=out_dtype)
+
+
+def _weight_only_linear_2d(x2d, qt: QTensor, bias, out_dtype):
+    """Fused unpack/dequant matmul (never materializes the weight).
+
+    Identity used for Hadamard: W_full = W_stored·(I⊗H) rotated back at
+    dequant; x @ W_fullᵀ == (x·(I⊗H)) @ W_storedᵀ since H is symmetric
+    orthonormal."""
+    meta = qt.meta
+    if meta.use_hadamard:
+        x2d = rotate_hadamard(x2d, meta.hadamard_group_size,
+                              precision=jax.lax.Precision.DEFAULT)
+    bias_eff = _svd_bias(x2d, qt, bias, out_dtype)
+    bias_flat = None
+    extra = None
+    if bias_eff is not None and bias_eff.ndim > 1:
+        extra = bias_eff  # (M, O) svd fold — added after the kernel
+    else:
+        bias_flat = bias_eff
+    scale = qt.scale.reshape(qt.scale.shape[0], -1)      # (O, G)
+    zp = (qt.zero_point.reshape(scale.shape)
+          if qt.zero_point is not None else None)
+    # effective flattened group span: for convs a "group" covers
+    # g * prod(kernel) consecutive elements of the (C, *k)-flattened axis
+    g_eff = x2d.shape[-1] // scale.shape[-1]
+    qd = qt.qdata
+    if not meta.is_packed and qd.ndim > 2:
+        qd = qd.reshape(qd.shape[0], -1)
+    out = dequant_matmul(x2d, qd, scale, zp, bias_flat,
+                         meta.format, g_eff, out_dtype=out_dtype)
+    if extra is not None:
+        out = (out.astype(jnp.float32) + extra.astype(jnp.float32)) \
+            .astype(out_dtype)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Public forwards
+# ---------------------------------------------------------------------------
+
+def qlinear(x: jax.Array, w, bias: jax.Array | None = None,
+            out_dtype=None) -> jax.Array:
+    """y = x @ w.T + bias with quantized w (QTensor) or plain array."""
+    if not isinstance(w, QTensor):
+        out_dtype = out_dtype or x.dtype
+        out = jnp.einsum("...c,oc->...o", x, w.astype(x.dtype),
+                         preferred_element_type=jnp.float32)
+        if bias is not None:
+            out = out + bias.astype(jnp.float32)
+        return out.astype(out_dtype)
+
+    meta = w.meta
+    out_dtype = out_dtype or jnp.dtype(meta.dequant_dtype)
+    x2d, lead = _flatten_batch(x)
+    o = meta.original_shape[0]
+
+    use_mm = meta.use_quantized_matmul and x2d.shape[0] >= _MIN_MATMUL_ROWS
+    if use_mm:
+        out = _quantized_matmul_2d(x2d, w, bias, out_dtype)
+    else:
+        out = _weight_only_linear_2d(x2d, w, bias, out_dtype)
+    return out.reshape(*lead, o)
+
+
+def qconv(x: jax.Array, w, bias: jax.Array | None = None, *,
+          stride=1, padding="SAME", dilation=1, feature_group_count=1,
+          transpose: bool = False, out_dtype=None) -> jax.Array:
+    """Conv with quantized weights.  x is NHWC (TPU-native); stored weights
+    are OIHW (checkpoint order, reference layout) and transposed at trace
+    time.
+
+    Weight-only path dequantizes through the fused-dequant weight (XLA fuses
+    dequant into the conv input pipeline); the quantized-matmul conv path
+    (im2col -> int8 GEMM, reference conv_int8.py:16-120) applies when
+    enabled and the patch matrix is large enough."""
+    nd = x.ndim - 2  # spatial dims
+    if isinstance(stride, int):
+        stride = (stride,) * nd
+    if isinstance(dilation, int):
+        dilation = (dilation,) * nd
+
+    if isinstance(w, QTensor):
+        meta = w.meta
+        out_dtype = out_dtype or jnp.dtype(meta.dequant_dtype)
+        use_mm = (meta.use_quantized_matmul and not transpose
+                  and feature_group_count == 1)
+        if use_mm:
+            return _qconv_im2col(x, w, bias, stride, padding, dilation,
+                                 out_dtype)
+        wd = dequantize(w, dtype=x.dtype)
+    else:
+        wd = w.astype(x.dtype)
+        out_dtype = out_dtype or x.dtype
+
+    if transpose:
+        # stored (C_in, C_out, *k)
+        out = jax.lax.conv_transpose(
+            x, jnp.moveaxis(wd, (0, 1), (-2, -1)),
+            strides=stride, padding=padding,
+            rhs_dilation=dilation,
+            dimension_numbers=_dim_numbers(nd),
+            transpose_kernel=True)
+    else:
+        # stored (C_out, C_in, *k) -> HWIO
+        kernel = jnp.moveaxis(wd, (0, 1), (-1, -2))
+        out = jax.lax.conv_general_dilated(
+            x, kernel, window_strides=stride, padding=padding,
+            rhs_dilation=dilation,
+            dimension_numbers=_dim_numbers(nd),
+            feature_group_count=feature_group_count)
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out.astype(out_dtype)
+
+
+def _dim_numbers(nd: int):
+    spatial = "DHW"[-nd:]
+    return (f"N{spatial}C", f"{spatial}IO", f"N{spatial}C")
+
+
+def _qconv_im2col(x, qt: QTensor, bias, stride, padding, dilation, out_dtype):
+    """im2col -> quantized linear (reference conv/forward.py:26-75)."""
+    nd = x.ndim - 2
+    kshape = qt.meta.original_shape[2:]
+    # patches feature dim ordered C*prod(k) channel-major, matching the
+    # OIHW flatten order of the stored weight
+    patches = jax.lax.conv_general_dilated_patches(
+        x, filter_shape=kshape, window_strides=stride, padding=padding,
+        rhs_dilation=dilation,
+        dimension_numbers=_dim_numbers(nd))
+    m2d, lead = _flatten_batch(patches)
+    if qt.meta.use_quantized_matmul and m2d.shape[0] >= _MIN_MATMUL_ROWS:
+        out = _quantized_matmul_2d(m2d, qt, bias, out_dtype)
+    else:
+        out = _weight_only_linear_2d(m2d, qt, bias, out_dtype)
+    return out.reshape(*lead, qt.meta.original_shape[0])
+
+
+def qembedding(ids: jax.Array, w, scale_multiplier: float | None = None,
+               out_dtype=None) -> jax.Array:
+    """Row-gather + dequantize-only-gathered-rows
+    (reference embedding/forward.py:12-61)."""
+    if not isinstance(w, QTensor):
+        out = w[ids]
+        if scale_multiplier is not None:
+            out = out * scale_multiplier
+        return out
+    meta = w.meta
+    out_dtype = out_dtype or jnp.dtype(meta.dequant_dtype)
+    flat_ids = ids.reshape(-1)
+    # gather packed rows / scales, then dequantize only those rows
+    sub = QTensor(
+        qdata=w.qdata[flat_ids],
+        scale=w.scale[flat_ids],
+        zero_point=None if w.zero_point is None else w.zero_point[flat_ids],
+        svd_up=None if w.svd_up is None else w.svd_up[flat_ids],
+        svd_down=w.svd_down,
+        meta=_row_meta(meta, flat_ids.shape[0]),
+    )
+    out = dequantize(sub, dtype=out_dtype)
+    if scale_multiplier is not None:
+        out = out * scale_multiplier
+    return out.reshape(*ids.shape, out.shape[-1])
+
+
+def _row_meta(meta, rows: int):
+    import dataclasses
+    return dataclasses.replace(
+        meta,
+        original_shape=(rows,) + meta.original_shape[1:],
+        quantized_shape=(rows,) + meta.quantized_shape[1:],
+    )

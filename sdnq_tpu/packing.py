@@ -10,15 +10,21 @@ Layout
 ------
 For a k-bit format, the last axis of the code array (length C, padded to a
 multiple of 8) is stored as k bit-planes of C/8 bytes each, concatenated
-along the last axis into one uint8 array of shape ``(..., k * C/8)``:
+along the last axis into one uint8 array of shape ``(..., k * C/8)``, in
+**segment-major (transposed) order**:
 
-    plane j, byte b, bit i  ==  bit j of code[..., 8*b + i]
+    plane j, byte b, bit i  ==  bit j of code[..., i * C/8 + b]
 
-This is exactly k bits/value (as tight as the reference), is a single code
-path for all widths, unpacks with k shift/and/accumulate vector ops on the
-VPU, and keeps regular strides so the unpack fuses into Pallas matmul
-prologues.  Signed integers are stored offset-binary (``x - min``) like the
-reference (packed_int/__init__.py).
+i.e. the row is split into 8 segments of C/8 values; segment i lives in bit
+position i across the full byte row.  Unpacking segment i of a tile is then
+``((plane_j >> i) & 1) << j`` summed over planes — pure lane-wise shift/mask
+with NO reshape or interleave, which is exactly what Mosaic can vectorize
+inside a Pallas matmul prologue (an interleaved ``8*b + i`` layout would
+need an unsupported (N, C/8, 8) -> (N, C) shape cast in-kernel).
+
+This is exactly k bits/value (as tight as the reference), one code path for
+all widths 1..16.  Signed integers are stored offset-binary (``x - min``)
+like the reference (packed_int/__init__.py).
 
 Float codes use the generic finite-minifloat codec below (sign | exponent |
 mantissa fields, RTNE on encode, subnormals flush to scaled-linear), the
@@ -50,7 +56,8 @@ def pad_to_multiple(n: int, m: int) -> int:
 
 
 def pack_codes(codes: jax.Array, num_bits: int) -> jax.Array:
-    """Pack non-negative integer codes (< 2**num_bits) into bit-planes.
+    """Pack non-negative integer codes (< 2**num_bits) into segment-major
+    bit-planes (see module docstring).
 
     codes: integer array (..., C). Returns uint8 (..., num_bits * ceil(C/8)).
     """
@@ -59,14 +66,15 @@ def pack_codes(codes: jax.Array, num_bits: int) -> jax.Array:
     codes = codes.astype(jnp.uint32)
     if cpad != c:
         codes = jnp.pad(codes, [(0, 0)] * (codes.ndim - 1) + [(0, cpad - c)])
-    # (..., C/8, 8)
-    grouped = codes.reshape(*codes.shape[:-1], cpad // 8, 8)
-    bit_idx = jnp.arange(8, dtype=jnp.uint32)
+    # segment-major: (..., 8 segments, C/8)
+    segs = codes.reshape(*codes.shape[:-1], 8, cpad // 8)
     planes = []
     for j in range(num_bits):
-        bits = (grouped >> j) & 1  # (..., C/8, 8)
-        byte = jnp.sum(bits << bit_idx, axis=-1).astype(jnp.uint8)  # (..., C/8)
-        planes.append(byte)
+        bits = (segs >> j) & 1                       # (..., 8, C/8)
+        byte = jnp.zeros(segs.shape[:-2] + (cpad // 8,), jnp.uint32)
+        for i in range(8):
+            byte = byte | (bits[..., i, :] << i)
+        planes.append(byte.astype(jnp.uint8))        # (..., C/8)
     return jnp.concatenate(planes, axis=-1)
 
 
@@ -75,13 +83,17 @@ def unpack_codes(packed: jax.Array, num_bits: int, c: int,
     """Inverse of :func:`pack_codes`. Returns (..., c) array of codes."""
     cpad = pad_to_multiple(c, 8)
     nbytes = cpad // 8
-    planes = packed.reshape(*packed.shape[:-1], num_bits, nbytes)
-    bit_idx = jnp.arange(8, dtype=jnp.uint8)
-    # (..., num_bits, C/8, 8) -> bits of each value
-    bits = (planes[..., None] >> bit_idx) & 1
-    bits = bits.reshape(*packed.shape[:-1], num_bits, cpad).astype(out_dtype)
-    weights = jnp.asarray(1, out_dtype) << jnp.arange(num_bits, dtype=out_dtype)
-    vals = jnp.sum(bits * weights[:, None], axis=-2)
+    planes = packed.reshape(*packed.shape[:-1], num_bits, nbytes) \
+        .astype(out_dtype)
+    # value v = i*C/8 + b  ->  bit i of plane[j][b], weighted by 2^j
+    segs = []
+    for i in range(8):
+        seg = None
+        for j in range(num_bits):
+            bit = (planes[..., j, :] >> i) & 1
+            seg = bit if seg is None else seg | (bit << j)
+        segs.append(seg)
+    vals = jnp.concatenate(segs, axis=-1)            # (..., cpad)
     return vals[..., :c]
 
 

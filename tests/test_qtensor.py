@@ -1,0 +1,230 @@
+"""QTensor round-trip, layer forwards, and model-transform tests."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from sdnq_tpu import (
+    QTensor, QuantConfig, quantize_tensor, dequantize,
+    quantize_model, dequantize_model, qlinear, qconv, qembedding,
+    quantization_loss, quantize_tensor_dynamic,
+)
+
+
+def _w(shape, seed=0, scale=1.0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.normal(size=shape).astype(np.float32) * scale)
+
+
+def test_qtensor_is_pytree():
+    qt = quantize_tensor(_w((64, 256)), "int8")
+    leaves = jax.tree_util.tree_leaves(qt)
+    assert len(leaves) >= 2  # qdata + scale
+    qt2 = jax.tree_util.tree_map(lambda x: x, qt)
+    assert isinstance(qt2, QTensor)
+    assert qt2.meta == qt.meta
+
+
+@pytest.mark.parametrize("fmt,tol", [
+    ("int8", 1e-4), ("uint8", 1e-4), ("int4", 2e-2), ("uint4", 2e-2),
+    ("float8_e4m3fn", 3e-3), ("fp6", 3e-2), ("int6", 2e-3),
+])
+def test_roundtrip_normalized_mse(fmt, tol):
+    w = _w((128, 512))
+    qt = quantize_tensor(w, fmt, group_size=-1)
+    assert quantization_loss(w, qt) < tol
+
+
+def test_grouped_roundtrip():
+    w = _w((128, 512))
+    qt = quantize_tensor(w, "int4", group_size=64)
+    assert qt.meta.group_size == 64
+    assert qt.meta.quantized_shape == (128, 8, 64)
+    loss = quantization_loss(w, qt)
+    assert loss < 1.2e-2  # int4 gaussian noise floor ~1.0e-2
+
+
+def test_hadamard_svd_roundtrip():
+    w = _w((128, 256))
+    qt = quantize_tensor(w, "int4", use_hadamard=True, use_svd=True,
+                         svd_rank=16)
+    assert qt.meta.use_hadamard
+    assert qt.svd_up is not None and qt.svd_up.shape == (128, 16)
+    loss = quantization_loss(w, qt)
+    assert loss < 1.5e-2
+
+
+def test_conv_quantization():
+    w = _w((64, 32, 3, 3))
+    qt = quantize_tensor(w, "int8", layer_kind="conv", group_size=16)
+    deq = dequantize(qt, dtype=jnp.float32)
+    assert deq.shape == w.shape
+    assert float(jnp.mean((deq - w) ** 2) / jnp.var(w)) < 1e-4
+
+
+def test_qlinear_weight_only_matches_dequant():
+    w = _w((256, 512))
+    b = _w((256,), seed=1)
+    x = _w((8, 512), seed=2, scale=0.5)
+    qt = quantize_tensor(w, "int8")
+    y = qlinear(x, qt, b, out_dtype=jnp.float32)
+    ref = x @ dequantize(qt, jnp.float32).T + b
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_qlinear_packed_int4():
+    w = _w((256, 512))
+    x = _w((4, 512), seed=2, scale=0.5)
+    qt = quantize_tensor(w, "int4", group_size=64)
+    assert qt.qdata.dtype == jnp.uint8
+    y = qlinear(x, qt, None, out_dtype=jnp.float32)
+    ref = x @ dequantize(qt, jnp.float32).T
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_qlinear_int8_matmul_path():
+    w = _w((256, 512))
+    b = _w((256,), seed=1)
+    x = _w((64, 512), seed=2, scale=0.5)  # rows >= 32 -> matmul path
+    qt = quantize_tensor(w, "int8", use_quantized_matmul=True, group_size=-1)
+    assert qt.meta.use_quantized_matmul
+    assert not qt.meta.re_quantize_for_matmul
+    y = qlinear(x, qt, b, out_dtype=jnp.float32)
+    ref = x @ w.T + b
+    rel = float(jnp.abs(y - ref).max() / jnp.abs(ref).max())
+    assert rel < 0.05, rel
+
+
+def test_qlinear_uint8_matmul_zero_point_fold():
+    w = _w((256, 512)) + 1.5  # asymmetric distribution
+    x = _w((64, 512), seed=2, scale=0.5) + 0.7
+    qt = quantize_tensor(w, "uint8", use_quantized_matmul=True, group_size=-1)
+    y = qlinear(x, qt, None, out_dtype=jnp.float32)
+    ref = x @ w.T
+    rel = float(jnp.abs(y - ref).max() / jnp.abs(ref).max())
+    assert rel < 0.05, rel
+
+
+def test_qlinear_matmul_with_hadamard_svd():
+    w = _w((256, 512))
+    x = _w((64, 512), seed=3, scale=0.3)
+    qt = quantize_tensor(w, "int8", use_quantized_matmul=True, group_size=-1,
+                         use_hadamard=True, use_svd=True, svd_rank=16)
+    y = qlinear(x, qt, None, out_dtype=jnp.float32)
+    ref = x @ w.T
+    rel = float(jnp.abs(y - ref).max() / jnp.abs(ref).max())
+    assert rel < 0.06, rel
+
+
+def test_qlinear_small_batch_bailout():
+    w = _w((256, 512))
+    x = _w((4, 512), seed=2)  # rows < 32 -> weight-only path
+    qt = quantize_tensor(w, "int8", use_quantized_matmul=True, group_size=-1)
+    y = qlinear(x, qt, None, out_dtype=jnp.float32)
+    ref = x @ dequantize(qt, jnp.float32).T
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=2e-2,
+                               atol=2e-2)
+
+
+def test_qconv_plain():
+    w = _w((64, 32, 3, 3))
+    x = _w((2, 16, 16, 32), seed=4, scale=0.5)  # NHWC
+    qt = quantize_tensor(w, "int8", layer_kind="conv")
+    y = qconv(x, qt, stride=1, padding="SAME", out_dtype=jnp.float32)
+    wd = dequantize(qt, jnp.float32)
+    ref = jax.lax.conv_general_dilated(
+        x, jnp.moveaxis(wd, (0, 1), (-1, -2)), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_qconv_im2col_matmul():
+    w = _w((64, 32, 3, 3))
+    x = _w((2, 16, 16, 32), seed=4, scale=0.5)
+    qt = quantize_tensor(w, "int8", layer_kind="conv",
+                         use_quantized_matmul=True, group_size=-1)
+    y = qconv(x, qt, stride=1, padding="SAME", out_dtype=jnp.float32)
+    wd = dequantize(qt, jnp.float32)
+    ref = jax.lax.conv_general_dilated(
+        x, jnp.moveaxis(wd, (0, 1), (-1, -2)), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    rel = float(jnp.abs(y - ref).max() / jnp.abs(ref).max())
+    assert rel < 0.06, rel
+
+
+def test_qembedding():
+    w = _w((1000, 128))
+    qt = quantize_tensor(w, "int8", layer_kind="embedding")
+    ids = jnp.asarray([[1, 5, 999], [0, 42, 7]])
+    y = qembedding(ids, qt, out_dtype=jnp.float32)
+    ref = dequantize(qt, jnp.float32)[ids.reshape(-1)].reshape(2, 3, 128)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=1e-5)
+
+
+def test_quantize_model_pytree():
+    params = {
+        "blocks": [
+            {"attn": {"to_q": {"weight": _w((256, 256)), "bias": _w((256,))}}},
+            {"mlp": {"fc": {"weight": _w((1024, 256))}}},
+        ],
+        "norm": {"weight": _w((256,))},             # 1D: skipped
+        "tiny": {"weight": _w((8, 8))},             # too small: skipped
+        "token_embedding": {"weight": _w((512, 256))},
+    }
+    qp, cfg = quantize_model(params, QuantConfig(weights_dtype="int8"))
+    assert isinstance(qp["blocks"][0]["attn"]["to_q"]["weight"], QTensor)
+    assert isinstance(qp["blocks"][1]["mlp"]["fc"]["weight"], QTensor)
+    assert not isinstance(qp["norm"]["weight"], QTensor)
+    assert not isinstance(qp["tiny"]["weight"], QTensor)
+    # embedding skipped by default (quant_embedding=False)
+    assert not isinstance(qp["token_embedding"]["weight"], QTensor)
+    # bias untouched
+    assert not isinstance(qp["blocks"][0]["attn"]["to_q"]["bias"], QTensor)
+    back = dequantize_model(qp, dtype=jnp.float32)
+    assert back["blocks"][0]["attn"]["to_q"]["weight"].shape == (256, 256)
+
+
+def test_quantize_model_skip_lists():
+    params = {"proj_out": {"weight": _w((256, 256))},
+              "mid": {"weight": _w((256, 256))}}
+    cfg = QuantConfig(modules_to_not_convert=["proj_out"])
+    qp, _ = quantize_model(params, cfg)
+    assert not isinstance(qp["proj_out"]["weight"], QTensor)
+    assert isinstance(qp["mid"]["weight"], QTensor)
+
+
+def test_dynamic_quantization_ladder():
+    # easy weight: low-variance structure quantizes at 4 bits
+    rng = np.random.default_rng(0)
+    base = rng.normal(size=(128, 1)) @ rng.normal(size=(1, 256))
+    w = jnp.asarray((base + 0.01 * rng.normal(size=(128, 256)))
+                    .astype(np.float32))
+    qt = quantize_tensor_dynamic(w, fmt="uint4",
+                                 dynamic_loss_threshold=1e-2)
+    assert qt is not None
+    # hard weight at 2 bits escalates up the ladder
+    w2 = _w((128, 256), seed=5)
+    qt2 = quantize_tensor_dynamic(w2, fmt="int2", group_size=-1,
+                                  dynamic_loss_threshold=1e-3)
+    assert qt2 is not None
+    from sdnq_tpu import get_format
+    assert get_format(qt2.meta.fmt).num_bits > 2
+
+
+def test_qlinear_under_jit_and_grad_nondiff_wrt_weight():
+    w = _w((128, 256))
+    qt = quantize_tensor(w, "int8")
+    x = _w((8, 256), seed=6)
+
+    @jax.jit
+    def f(x, qt):
+        return qlinear(x, qt).sum()
+
+    v = f(x, qt)
+    assert jnp.isfinite(v)
+    g = jax.grad(lambda x: f(x, qt))(x)
+    assert g.shape == x.shape
