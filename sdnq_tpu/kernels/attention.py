@@ -1,0 +1,336 @@
+"""Quantized flash attention for TPU.
+
+Re-design of the reference's Triton attention kernel
+(/root/reference/src/sdnq/kernels/triton_atten.py:37-192) and host wrapper
+(:195-353) as a Pallas TPU kernel:
+
+  * online-softmax flash attention where Q·Kᵀ runs on the int8 (or fp8) MXU
+    with per-token scales folded into the softmax and the softmax scale
+    pre-multiplied into q_scale;
+  * optional quantized P·V with per-row-block dynamic requantization of P
+    (reference :169-185).  The per-token V scale folds into P *before*
+    requantization: Σₜ p[m,t]·vs[t]·v_q[t,d] = (p∘vs)_q @ v_q · p_scale;
+  * smooth-k (K mean-centering), optional Hadamard rotation of Q/K, GQA via
+    head-index arithmetic in the BlockSpec index maps, causal masking,
+    bool/float attention masks;
+  * head_dim padded to the 128-lane width (the reference pads to pow2).
+
+Layout: (B, H, N, D) like the reference's torch SDPA signature.  The kernel
+grids over (B·H, N/BM) with the full KV extent resident in VMEM per head
+(fine to ~16K tokens of int8 KV; ring/sequence-parallel attention splits KV
+across chips before this limit — see parallel/).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .dispatch import use_pallas, pallas_interpret
+from ..quant.core import quantize_int_mm
+from ..quant.hadamard import (
+    get_hadamard_group_size, next_power_of_2, rotate_hadamard,
+)
+
+__all__ = ["quantized_attention"]
+
+_NEG_INF = -1e30
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel
+# ---------------------------------------------------------------------------
+
+def _attn_kernel(q_ref, k_ref, v_ref, qs_ref, ks_ref, vs_ref, mask_ref,
+                 out_ref, *, bm: int, bk: int, n_k: int, d: int,
+                 causal: bool, has_mask: bool, mask_is_bool: bool,
+                 quantized: bool, quantized_pv: bool, sm_scale: float,
+                 kn_valid: int):
+    i = pl.program_id(1)
+    row0 = i * bm
+
+    q = q_ref[0]                                   # (BM, D)
+    if quantized:
+        qs = qs_ref[0]                             # (BM, 1)
+    m_i = jnp.full((bm, 1), _NEG_INF, jnp.float32)
+    l_i = jnp.zeros((bm, 1), jnp.float32)
+    acc = jnp.zeros((bm, d), jnp.float32)
+
+    row_ids = row0 + jax.lax.broadcasted_iota(jnp.int32, (bm, bk), 0)
+
+    for kt in range(n_k):
+        k0 = kt * bk
+        k_blk = k_ref[0, k0:k0 + bk, :]            # (BK, D)
+        if quantized:
+            s = jax.lax.dot_general(
+                q, k_blk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32).astype(jnp.float32)
+            s = s * qs * ks_ref[0, :, k0:k0 + bk]  # (1, BK)
+        else:
+            s = jax.lax.dot_general(
+                q, k_blk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * sm_scale
+
+        col_ids = k0 + jax.lax.broadcasted_iota(jnp.int32, (bm, bk), 1)
+        if kn_valid < n_k * bk:
+            s = jnp.where(col_ids < kn_valid, s, _NEG_INF)
+        if causal:
+            s = jnp.where(row_ids >= col_ids, s, _NEG_INF)
+        if has_mask:
+            mblk = mask_ref[0, :, k0:k0 + bk]
+            if mask_is_bool:
+                s = jnp.where(mblk != 0, s, _NEG_INF)
+            else:
+                s = s + mblk.astype(jnp.float32)
+
+        m_new = jnp.maximum(m_i, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_i - m_new)
+        l_i = l_i * alpha + jnp.sum(p, axis=-1, keepdims=True)
+
+        v_blk = v_ref[0, k0:k0 + bk, :]
+        if quantized_pv:
+            vs = vs_ref[0, :, k0:k0 + bk]          # (1, BK)
+            p_eff = p * vs
+            p_scale = jnp.maximum(jnp.max(p_eff, axis=-1, keepdims=True),
+                                  1e-20) / 127.0
+            p_q = jnp.round(p_eff / p_scale).astype(jnp.int8)
+            pv = jax.lax.dot_general(
+                p_q, v_blk, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32).astype(jnp.float32)
+            acc = acc * alpha + pv * p_scale
+        else:
+            pv = jax.lax.dot_general(
+                p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc = acc * alpha + pv
+        m_i = m_new
+
+    out_ref[0] = (acc / jnp.maximum(l_i, 1e-30)).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "causal", "quantized", "quantized_pv", "sm_scale", "q_per_kv",
+    "mask_is_bool", "out_dtype", "bm", "bk", "kn_valid"))
+def _attn_pallas(q, k, v, q_scale, k_scale, v_scale, mask, *, causal,
+                 quantized, quantized_pv, sm_scale, q_per_kv, mask_is_bool,
+                 out_dtype, bm, bk, kn_valid):
+    bh, n, d = q.shape
+    bh_kv, kn, _ = k.shape
+    n_k = kn // bk
+    has_mask = mask is not None
+
+    # Mosaic-legal layouts: q_scale (BH, N, 1); k/v scales (BH, 1, KN)
+    qs_in = (q_scale[..., None] if quantized
+             else jnp.zeros((bh, n, 1), jnp.float32))
+    ks_in = (k_scale[:, None, :] if quantized
+             else jnp.zeros((bh_kv, 1, kn), jnp.float32))
+    vs_in = (v_scale[:, None, :] if quantized_pv
+             else jnp.zeros((bh_kv, 1, kn), jnp.float32))
+    mask_in = mask if has_mask else jnp.zeros((1, 1, 8), jnp.int8)
+    mask_bh = mask_in.shape[0]
+
+    kernel = functools.partial(
+        _attn_kernel, bm=bm, bk=bk, n_k=n_k, d=d, causal=causal,
+        has_mask=has_mask, mask_is_bool=mask_is_bool, quantized=quantized,
+        quantized_pv=quantized_pv, sm_scale=sm_scale, kn_valid=kn_valid)
+
+    flops = 4 * n * kn * d * bh
+    return pl.pallas_call(
+        kernel,
+        grid=(bh, pl.cdiv(n, bm)),
+        in_specs=[
+            pl.BlockSpec((1, bm, d), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kn, d), lambda b, i: (b // q_per_kv, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kn, d), lambda b, i: (b // q_per_kv, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bm, 1), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, kn), lambda b, i: (b // q_per_kv, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, kn), lambda b, i: (b // q_per_kv, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, bm, mask_in.shape[-1]),
+                (lambda b, i: (b % mask_bh, i, 0)) if has_mask
+                else (lambda b, i: (0, 0, 0)),
+                memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bm, d), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, n, d), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=q.size + k.size + v.size,
+            transcendentals=n * kn * bh),
+        interpret=pallas_interpret(),
+    )(q, k, v, qs_in, ks_in, vs_in, mask_in)
+
+
+# ---------------------------------------------------------------------------
+# XLA fallback (also the numerics reference for kernel tests)
+# ---------------------------------------------------------------------------
+
+def _attn_xla(q, k, v, q_scale, k_scale, v_scale, mask, *, causal,
+              quantized, quantized_pv, sm_scale, mask_is_bool, out_dtype):
+    if quantized:
+        s = jnp.einsum("bnd,bkd->bnk", q.astype(jnp.int32),
+                       k.astype(jnp.int32)).astype(jnp.float32)
+        s = s * q_scale[..., None] * k_scale[:, None, :]
+    else:
+        s = jnp.einsum("bnd,bkd->bnk", q.astype(jnp.float32),
+                       k.astype(jnp.float32)) * sm_scale
+    n, kn = s.shape[-2], s.shape[-1]
+    if causal:
+        ii = jnp.arange(n)[:, None]
+        jj = jnp.arange(kn)[None, :]
+        s = jnp.where(ii >= jj, s, _NEG_INF)
+    if mask is not None:
+        if mask_is_bool:
+            s = jnp.where(mask != 0, s, _NEG_INF)
+        else:
+            s = s + mask.astype(jnp.float32)
+    p = jax.nn.softmax(s, axis=-1)
+    if quantized_pv:
+        p_eff = p * v_scale[:, None, :]
+        p_scale = jnp.maximum(p_eff.max(-1, keepdims=True), 1e-20) / 127.0
+        p_q = jnp.round(p_eff / p_scale)
+        out = jnp.einsum("bnk,bkd->bnd", p_q, v.astype(jnp.float32))
+        out = out * p_scale
+    else:
+        out = jnp.einsum("bnk,bkd->bnd", p, v.astype(jnp.float32))
+    return out.astype(out_dtype)
+
+
+# ---------------------------------------------------------------------------
+# Host wrapper (reference: triton_atten.py:195-353)
+# ---------------------------------------------------------------------------
+
+def _pad_last(x, to):
+    d = x.shape[-1]
+    if d == to:
+        return x
+    return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, to - d)])
+
+
+def quantized_attention(
+    query: jax.Array,
+    key: jax.Array,
+    value: jax.Array,
+    attn_mask: jax.Array | None = None,
+    is_causal: bool = False,
+    scale: float | None = None,
+    *,
+    smooth_k: bool = False,
+    use_hadamard: bool = False,
+    hadamard_group_size: int = 256,
+    matmul_dtype: str | None = "int8",
+    pv_matmul_dtype: str | None = None,
+    out_dtype=None,
+) -> jax.Array:
+    """Drop-in quantized scaled-dot-product attention.
+
+    query/key/value: (B, H, N, D) — torch SDPA layout (reference parity).
+    ``matmul_dtype`` in {"int8", None/"none"/"disabled"}; ``pv_matmul_dtype``
+    optionally "int8" to run P·V quantized too.
+    """
+    b, h, n, d = query.shape
+    _, kh, kn, _ = key.shape
+    vd = value.shape[-1]
+    if out_dtype is None:
+        out_dtype = query.dtype
+    if scale is None:
+        scale = d ** -0.5
+    do_quant = matmul_dtype not in (None, "none", "no", "disabled")
+    do_quant_pv = pv_matmul_dtype not in (None, "auto", "none", "no",
+                                          "disabled")
+    q_per_kv = h // kh
+
+    qf = query.astype(jnp.float32)
+    kf = key.astype(jnp.float32)
+    vf = value.astype(jnp.float32)
+    if smooth_k:
+        # K mean-centering: softmax is invariant to per-row constant shifts
+        # of the logits (reference :210-215)
+        kf = kf - kf.mean(axis=2, keepdims=True)
+
+    if use_hadamard and do_quant:
+        hsize = next_power_of_2(min(d, hadamard_group_size))
+        use_h, hsize = get_hadamard_group_size(next_power_of_2(d), hsize)
+        if use_h and d % hsize == 0:
+            qf = rotate_hadamard(qf, hsize)
+            kf = rotate_hadamard(kf, hsize)
+
+    # flatten heads
+    qf = qf.reshape(b * h, n, d)
+    kf = kf.reshape(b * kh, kn, d)
+    vf = vf.reshape(b * kh, kn, vd)
+
+    mask = None
+    mask_is_bool = False
+    if attn_mask is not None:
+        mask_is_bool = attn_mask.dtype == jnp.bool_
+        mask = jnp.broadcast_to(attn_mask, (b, h, n, kn)) \
+            .reshape(b * h, n, kn)
+        if mask_is_bool:
+            mask = mask.astype(jnp.int8)
+
+    if do_quant:
+        q_q, q_s = quantize_int_mm(qf, axis=-1)
+        k_q, k_s = quantize_int_mm(kf, axis=-1)
+        q_scale = q_s.reshape(b * h, n) * scale
+        k_scale = k_s.reshape(b * kh, kn)
+    else:
+        q_q, k_q = qf, kf
+        q_scale = k_scale = None
+    if do_quant_pv:
+        v_q, v_s = quantize_int_mm(vf, axis=-1)
+        v_scale = v_s.reshape(b * kh, kn)
+    else:
+        v_q = vf
+        v_scale = None
+
+    dpad = max(128, next_power_of_2(d))
+    use_kernel = (use_pallas() and n % 8 == 0 and d <= 256
+                  and kn % 128 == 0)
+    if use_kernel:
+        q_in = _pad_last(q_q, dpad)
+        k_in = _pad_last(k_q, dpad)
+        if not do_quant_pv:
+            v_q = v_q.astype(jnp.bfloat16)  # MXU-friendly P·V in-kernel
+        v_in = _pad_last(v_q, dpad)
+        bm = min(512, max(8, n // max(1, n // 512)))
+        bm = min(bm, n)
+        while n % bm != 0:
+            bm //= 2
+        bk = min(512, kn)
+        while kn % bk != 0:
+            bk //= 2
+        out = _attn_pallas(
+            q_in, k_in, v_in, q_scale, k_scale, v_scale, mask,
+            causal=is_causal, quantized=do_quant, quantized_pv=do_quant_pv,
+            sm_scale=float(scale), q_per_kv=q_per_kv,
+            mask_is_bool=mask_is_bool, out_dtype=jnp.dtype(out_dtype),
+            bm=bm, bk=bk, kn_valid=kn)
+        out = out[..., :vd]
+    else:
+        if q_per_kv > 1:
+            k_q = jnp.repeat(k_q, q_per_kv, axis=0)
+            v_q = jnp.repeat(v_q, q_per_kv, axis=0)
+            if k_scale is not None:
+                k_scale = jnp.repeat(k_scale, q_per_kv, axis=0)
+            if v_scale is not None:
+                v_scale = jnp.repeat(v_scale, q_per_kv, axis=0)
+        out = _attn_xla(q_q, k_q, v_q, q_scale, k_scale, v_scale, mask,
+                        causal=is_causal, quantized=do_quant,
+                        quantized_pv=do_quant_pv, sm_scale=float(scale),
+                        mask_is_bool=mask_is_bool,
+                        out_dtype=jnp.dtype(out_dtype))
+    return out.reshape(b, h, n, vd)
