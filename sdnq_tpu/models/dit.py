@@ -1,0 +1,273 @@
+"""Flux-style multimodal diffusion transformer (MMDiT), TPU-native.
+
+The flagship model family for the quantized engine (BASELINE.json configs
+3-4: PixArt/SD3 DiT, Flux.1).  Architecture follows the public Flux design:
+double-stream blocks with separate image/text QKV + joint attention, then
+single-stream blocks on the fused sequence, AdaLN-Zero modulation from
+(timestep ⊕ guidance ⊕ pooled-text), RoPE over (id, h, w) axes.
+
+The reference never ships model code (it quantizes HF models in place);
+here models are pure functions over param pytrees so the same forward
+serves fp32/bf16 and any QTensor mix, under jit/pjit.  Param names follow
+diffusers' FluxTransformer2DModel so policy.MODEL_SKIP_KEYS
+["FluxTransformer2DModel"] applies and HF checkpoints can be mapped.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..layers import qlinear
+from .common import (
+    Params, apply_rope, attention, layer_norm, linear_init, rms_norm, rope,
+    silu, split_heads, timestep_embedding,
+)
+
+__all__ = ["DiTConfig", "init_dit", "dit_forward", "FLUX_DEV_CONFIG",
+           "FLUX_TINY_CONFIG"]
+
+
+@dataclasses.dataclass(frozen=True)
+class DiTConfig:
+    in_channels: int = 64          # packed 2x2 latent patches
+    hidden_size: int = 3072
+    num_heads: int = 24
+    depth_double: int = 19
+    depth_single: int = 38
+    txt_dim: int = 4096            # T5 features
+    vec_dim: int = 768             # CLIP pooled
+    mlp_ratio: float = 4.0
+    guidance_embed: bool = True
+    axes_dims: tuple = (16, 56, 56)  # rope dims per (id, h, w) axis
+    theta: float = 10000.0
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+
+FLUX_DEV_CONFIG = DiTConfig()
+FLUX_TINY_CONFIG = DiTConfig(
+    in_channels=16, hidden_size=256, num_heads=4, depth_double=2,
+    depth_single=4, txt_dim=64, vec_dim=32, axes_dims=(16, 24, 24))
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+def _mlp_init(key, dim, hidden, dtype):
+    k1, k2 = jax.random.split(key)
+    return {"fc1": linear_init(k1, dim, hidden, dtype=dtype),
+            "fc2": linear_init(k2, hidden, dim, dtype=dtype)}
+
+
+def init_dit(key, cfg: DiTConfig = FLUX_TINY_CONFIG,
+             dtype=jnp.float32) -> Params:
+    keys = iter(jax.random.split(key, 64 + 8 * (cfg.depth_double
+                                                + cfg.depth_single)))
+    d = cfg.hidden_size
+    mlp_hidden = int(d * cfg.mlp_ratio)
+    p: Params = {
+        "x_embedder": linear_init(next(keys), cfg.in_channels, d, dtype=dtype),
+        "context_embedder": linear_init(next(keys), cfg.txt_dim, d,
+                                        dtype=dtype),
+        "time_in": _mlp_init(next(keys), 256, d, dtype) | {},
+        "vector_in": _mlp_init(next(keys), cfg.vec_dim, d, dtype),
+        "norm_out": {
+            "linear": linear_init(next(keys), d, 2 * d, dtype=dtype)},
+        "proj_out": linear_init(next(keys), d, cfg.in_channels, dtype=dtype),
+        "transformer_blocks": [],
+        "single_transformer_blocks": [],
+    }
+    # time_in maps 256-dim sincos -> d via 2-layer mlp: fix fc1 in_dim
+    p["time_in"] = {"fc1": linear_init(next(keys), 256, d, dtype=dtype),
+                    "fc2": linear_init(next(keys), d, d, dtype=dtype)}
+    p["vector_in"] = {"fc1": linear_init(next(keys), cfg.vec_dim, d,
+                                         dtype=dtype),
+                      "fc2": linear_init(next(keys), d, d, dtype=dtype)}
+    if cfg.guidance_embed:
+        p["guidance_in"] = {
+            "fc1": linear_init(next(keys), 256, d, dtype=dtype),
+            "fc2": linear_init(next(keys), d, d, dtype=dtype)}
+
+    for _ in range(cfg.depth_double):
+        blk = {
+            "img_mod": {"linear": linear_init(next(keys), d, 6 * d,
+                                              dtype=dtype)},
+            "txt_mod": {"linear": linear_init(next(keys), d, 6 * d,
+                                              dtype=dtype)},
+            "img_attn": {
+                "qkv": linear_init(next(keys), d, 3 * d, dtype=dtype),
+                "norm_q": {"weight": jnp.ones((cfg.head_dim,), dtype)},
+                "norm_k": {"weight": jnp.ones((cfg.head_dim,), dtype)},
+                "proj": linear_init(next(keys), d, d, dtype=dtype)},
+            "txt_attn": {
+                "qkv": linear_init(next(keys), d, 3 * d, dtype=dtype),
+                "norm_q": {"weight": jnp.ones((cfg.head_dim,), dtype)},
+                "norm_k": {"weight": jnp.ones((cfg.head_dim,), dtype)},
+                "proj": linear_init(next(keys), d, d, dtype=dtype)},
+            "img_mlp": _mlp_init(next(keys), d, mlp_hidden, dtype),
+            "txt_mlp": _mlp_init(next(keys), d, mlp_hidden, dtype),
+        }
+        p["transformer_blocks"].append(blk)
+
+    for _ in range(cfg.depth_single):
+        blk = {
+            "norm": {"linear": linear_init(next(keys), d, 3 * d,
+                                           dtype=dtype)},
+            # fused qkv + mlp-in projection
+            "linear1": linear_init(next(keys), d, 3 * d + mlp_hidden,
+                                   dtype=dtype),
+            "linear2": linear_init(next(keys), d + mlp_hidden, d,
+                                   dtype=dtype),
+            "norm_q": {"weight": jnp.ones((cfg.head_dim,), dtype)},
+            "norm_k": {"weight": jnp.ones((cfg.head_dim,), dtype)},
+        }
+        p["single_transformer_blocks"].append(blk)
+    return p
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def _modulation(params, vec, n_chunks):
+    out = qlinear(silu(vec), params["linear"]["weight"],
+                  params["linear"].get("bias"))
+    return jnp.split(out[:, None, :], n_chunks, axis=-1)
+
+
+def _qk_norm(q, k, nq, nk):
+    return rms_norm(q, nq["weight"]), rms_norm(k, nk["weight"])
+
+
+def _double_block(blk, img, txt, vec, freqs, cfg, attn_cfg):
+    h = cfg.num_heads
+    i_shift1, i_scale1, i_gate1, i_shift2, i_scale2, i_gate2 = \
+        _modulation(blk["img_mod"], vec, 6)
+    t_shift1, t_scale1, t_gate1, t_shift2, t_scale2, t_gate2 = \
+        _modulation(blk["txt_mod"], vec, 6)
+
+    img_n = layer_norm(img) * (1 + i_scale1) + i_shift1
+    txt_n = layer_norm(txt) * (1 + t_scale1) + t_shift1
+
+    img_qkv = qlinear(img_n, blk["img_attn"]["qkv"]["weight"],
+                      blk["img_attn"]["qkv"].get("bias"))
+    txt_qkv = qlinear(txt_n, blk["txt_attn"]["qkv"]["weight"],
+                      blk["txt_attn"]["qkv"].get("bias"))
+    iq, ik, iv = (split_heads(t, h) for t in jnp.split(img_qkv, 3, -1))
+    tq, tk, tv = (split_heads(t, h) for t in jnp.split(txt_qkv, 3, -1))
+    iq, ik = _qk_norm(iq, ik, blk["img_attn"]["norm_q"],
+                      blk["img_attn"]["norm_k"])
+    tq, tk = _qk_norm(tq, tk, blk["txt_attn"]["norm_q"],
+                      blk["txt_attn"]["norm_k"])
+
+    # joint attention over [txt ; img]
+    q = jnp.concatenate([tq, iq], axis=2)
+    k = jnp.concatenate([tk, ik], axis=2)
+    v = jnp.concatenate([tv, iv], axis=2)
+    q = apply_rope(q, freqs)
+    k = apply_rope(k, freqs)
+    out = attention(q, k, v, attn_cfg)
+    txt_len = txt.shape[1]
+    txt_attn, img_attn = out[:, :txt_len], out[:, txt_len:]
+
+    img = img + i_gate1 * qlinear(img_attn, blk["img_attn"]["proj"]["weight"],
+                                  blk["img_attn"]["proj"].get("bias"))
+    txt = txt + t_gate1 * qlinear(txt_attn, blk["txt_attn"]["proj"]["weight"],
+                                  blk["txt_attn"]["proj"].get("bias"))
+
+    img_n2 = layer_norm(img) * (1 + i_scale2) + i_shift2
+    img = img + i_gate2 * _gelu_mlp(blk["img_mlp"], img_n2)
+    txt_n2 = layer_norm(txt) * (1 + t_scale2) + t_shift2
+    txt = txt + t_gate2 * _gelu_mlp(blk["txt_mlp"], txt_n2)
+    return img, txt
+
+
+def _gelu_mlp(mlp, x):
+    hdn = qlinear(x, mlp["fc1"]["weight"], mlp["fc1"].get("bias"))
+    hdn = jax.nn.gelu(hdn, approximate=True)
+    return qlinear(hdn, mlp["fc2"]["weight"], mlp["fc2"].get("bias"))
+
+
+def _single_block(blk, x, vec, freqs, cfg, attn_cfg):
+    h = cfg.num_heads
+    d = cfg.hidden_size
+    mlp_hidden = int(d * cfg.mlp_ratio)
+    shift, scale, gate = _modulation(blk["norm"], vec, 3)
+    xn = layer_norm(x) * (1 + scale) + shift
+    proj = qlinear(xn, blk["linear1"]["weight"], blk["linear1"].get("bias"))
+    qkv, mlp_h = proj[..., :3 * d], proj[..., 3 * d:]
+    q, k, v = (split_heads(t, h) for t in jnp.split(qkv, 3, -1))
+    q, k = _qk_norm(q, k, blk["norm_q"], blk["norm_k"])
+    q = apply_rope(q, freqs)
+    k = apply_rope(k, freqs)
+    attn_out = attention(q, k, v, attn_cfg)
+    act = jax.nn.gelu(mlp_h, approximate=True)
+    out = qlinear(jnp.concatenate([attn_out, act], -1),
+                  blk["linear2"]["weight"], blk["linear2"].get("bias"))
+    return x + gate * out
+
+
+def make_rope_freqs(cfg: DiTConfig, txt_len: int, img_hw: tuple[int, int],
+                    batch: int = 1):
+    """Position ids: txt tokens at (0,0,0..L); img tokens at (0, y, x)."""
+    h, w = img_hw
+    txt_ids = jnp.zeros((txt_len, 3), jnp.int32)
+    txt_ids = txt_ids.at[:, 0].set(jnp.arange(txt_len))
+    ys, xs = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
+    img_ids = jnp.stack(
+        [jnp.zeros_like(ys), ys, xs], axis=-1).reshape(-1, 3)
+    ids = jnp.concatenate([txt_ids, img_ids], axis=0)  # (L+HW, 3)
+    tables = [rope(ids[:, i], cfg.axes_dims[i], cfg.theta)
+              for i in range(3)]
+    freqs = jnp.concatenate(tables, axis=-3)  # (N, D/2, 2, 2)
+    return freqs[None, None]  # (1, 1, N, D/2, 2, 2)
+
+
+def dit_forward(params: Params, img: jax.Array, txt: jax.Array,
+                timesteps: jax.Array, pooled: jax.Array,
+                cfg: DiTConfig, guidance: jax.Array | None = None,
+                freqs: jax.Array | None = None,
+                attn_config: dict | None = None) -> jax.Array:
+    """img: (B, N_img, in_channels) packed latent patches; txt: (B, L,
+    txt_dim); timesteps: (B,) in [0,1]; pooled: (B, vec_dim)."""
+    img = qlinear(img, params["x_embedder"]["weight"],
+                  params["x_embedder"].get("bias"))
+    txt = qlinear(txt, params["context_embedder"]["weight"],
+                  params["context_embedder"].get("bias"))
+
+    vec = _vec_mlp(params["time_in"], timestep_embedding(timesteps * 1000.0,
+                                                         256))
+    if cfg.guidance_embed and guidance is not None:
+        vec = vec + _vec_mlp(params["guidance_in"],
+                             timestep_embedding(guidance * 1000.0, 256))
+    vec = vec + _vec_mlp(params["vector_in"], pooled)
+
+    if freqs is None:
+        n_img = img.shape[1]
+        side = int(round(n_img ** 0.5))
+        freqs = make_rope_freqs(cfg, txt.shape[1], (side, n_img // side))
+
+    for blk in params["transformer_blocks"]:
+        img, txt = _double_block(blk, img, txt, vec, freqs, cfg, attn_config)
+
+    x = jnp.concatenate([txt, img], axis=1)
+    for blk in params["single_transformer_blocks"]:
+        x = _single_block(blk, x, vec, freqs, cfg, attn_config)
+    img = x[:, txt.shape[1]:]
+
+    shift, scale = _modulation(params["norm_out"], vec, 2)
+    img = layer_norm(img) * (1 + scale) + shift
+    return qlinear(img, params["proj_out"]["weight"],
+                   params["proj_out"].get("bias"))
+
+
+def _vec_mlp(p, x):
+    h = qlinear(x, p["fc1"]["weight"], p["fc1"].get("bias"))
+    return qlinear(silu(h), p["fc2"]["weight"], p["fc2"].get("bias"))

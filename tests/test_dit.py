@@ -1,0 +1,82 @@
+"""DiT model tests: forward shapes, quantized-vs-fp32 closeness, jit."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from sdnq_tpu import QuantConfig, quantize_model, QTensor
+from sdnq_tpu.models import (
+    FLUX_TINY_CONFIG, dit_forward, init_dit, make_rope_freqs,
+)
+
+
+def _inputs(cfg, b=2, img_hw=(8, 8), txt_len=16, seed=0):
+    rng = np.random.default_rng(seed)
+    n_img = img_hw[0] * img_hw[1]
+    img = jnp.asarray(rng.normal(size=(b, n_img, cfg.in_channels))
+                      .astype(np.float32))
+    txt = jnp.asarray(rng.normal(size=(b, txt_len, cfg.txt_dim))
+                      .astype(np.float32))
+    t = jnp.asarray(rng.uniform(0, 1, (b,)).astype(np.float32))
+    pooled = jnp.asarray(rng.normal(size=(b, cfg.vec_dim)).astype(np.float32))
+    g = jnp.full((b,), 3.5, jnp.float32)
+    freqs = make_rope_freqs(cfg, txt_len, img_hw)
+    return img, txt, t, pooled, g, freqs
+
+
+def test_dit_forward_shape():
+    cfg = FLUX_TINY_CONFIG
+    params = init_dit(jax.random.key(0), cfg)
+    img, txt, t, pooled, g, freqs = _inputs(cfg)
+    out = dit_forward(params, img, txt, t, pooled, cfg, guidance=g,
+                      freqs=freqs)
+    assert out.shape == (2, 64, cfg.in_channels)
+    assert bool(jnp.isfinite(out).all())
+
+
+def test_dit_quantized_close_to_fp32():
+    cfg = FLUX_TINY_CONFIG
+    params = init_dit(jax.random.key(0), cfg)
+    img, txt, t, pooled, g, freqs = _inputs(cfg)
+    ref = dit_forward(params, img, txt, t, pooled, cfg, guidance=g,
+                      freqs=freqs)
+
+    qparams, _ = quantize_model(
+        params, QuantConfig(weights_dtype="int8", dequant_dtype="float32"),
+        arch="FluxTransformer2DModel")
+    n_q = sum(isinstance(l, QTensor) for l in jax.tree_util.tree_leaves(
+        qparams, is_leaf=lambda x: isinstance(x, QTensor)))
+    assert n_q > 10  # most big linears quantized
+    out = dit_forward(qparams, img, txt, t, pooled, cfg, guidance=g,
+                      freqs=freqs)
+    rel = float(jnp.abs(out - ref).max()
+                / jnp.maximum(jnp.abs(ref).max(), 1e-6))
+    assert rel < 0.1, rel
+
+
+def test_dit_skip_keys_respected():
+    cfg = FLUX_TINY_CONFIG
+    params = init_dit(jax.random.key(1), cfg)
+    qparams, qc = quantize_model(
+        params, QuantConfig(weights_dtype="int8"),
+        arch="FluxTransformer2DModel")
+    # x_embedder / proj_out / norm_out must stay unquantized (skip registry)
+    assert not isinstance(qparams["x_embedder"]["weight"], QTensor)
+    assert not isinstance(qparams["proj_out"]["weight"], QTensor)
+    assert not isinstance(qparams["norm_out"]["linear"]["weight"], QTensor)
+    # big attention/mlp weights ARE quantized
+    assert isinstance(
+        qparams["transformer_blocks"][0]["img_attn"]["qkv"]["weight"],
+        QTensor)
+
+
+def test_dit_jit_and_quant_attention():
+    cfg = FLUX_TINY_CONFIG
+    params = init_dit(jax.random.key(0), cfg)
+    img, txt, t, pooled, g, freqs = _inputs(cfg)
+
+    fwd = jax.jit(lambda p, i: dit_forward(
+        p, i, txt, t, pooled, cfg, guidance=g, freqs=freqs,
+        attn_config={"matmul_dtype": "int8"}))
+    out = fwd(params, img)
+    assert bool(jnp.isfinite(out).all())
