@@ -34,53 +34,65 @@ from ..packing import decode_float
 __all__ = ["dequant_matmul"]
 
 # VMEM budget for one block's resident operands (x + w rows, full K).
-_TILE_BUDGET = 6 * 1024 * 1024
+_TILE_BUDGET = 4 * 1024 * 1024
 _MAX_K = 32768
 
 
 def _dequant_mm_kernel(x_ref, wq_ref, scale_ref, zp_ref, bias_ref, out_ref,
-                       *, packed: bool, code_bits: int, code_min: int,
-                       is_float_fmt: bool, fmt_name: str, g: int, bn: int,
-                       bk: int, n_k: int, has_zp: bool, has_bias: bool):
+                       wdeq_ref, *, packed: bool, code_bits: int,
+                       code_min: int, is_float_fmt: bool, fmt_name: str,
+                       g: int, bn: int, bk: int, n_k: int, has_zp: bool,
+                       has_bias: bool):
+    i = pl.program_id(1)
+
+    # Unpack + dequantize the (BN, K) weight tile ONCE per output-column
+    # block and cache it in VMEM scratch: the grid runs j-outer / i-inner,
+    # so every M block of the same j reuses the cached tile.  Without this
+    # the unpack cost multiplies by n_i (M/BM) and dominates at large M.
+    @pl.when(i == 0)
+    def _():
+        for kt in range(n_k):
+            k0 = kt * bk
+            if packed:
+                # segment-major layout: segment kt of the row lives in bit
+                # position kt of every byte plane — unpack is pure
+                # lane-wise shift/mask, no reshape (packing.py docstring)
+                codes = None
+                for j in range(code_bits):
+                    plane = wq_ref[:, j, :].astype(jnp.int32)  # (BN, K/8)
+                    bit = (plane >> kt) & 1
+                    codes = bit if codes is None else codes | (bit << j)
+                if is_float_fmt:
+                    vals = decode_float(codes, get_format(fmt_name),
+                                        dtype=jnp.float32)
+                else:
+                    vals = (codes + code_min).astype(jnp.float32)
+            else:
+                vals = wq_ref[:, k0:k0 + bk].astype(jnp.float32)
+
+            if g >= bk:
+                gi = k0 // g
+                scale = scale_ref[:, gi:gi + 1].astype(jnp.float32)
+                w = vals * scale
+                if has_zp:
+                    w = w + zp_ref[:, gi:gi + 1].astype(jnp.float32)
+            else:
+                sg = bk // g
+                gi = k0 // g
+                scale = scale_ref[:, gi:gi + sg].astype(jnp.float32)
+                w = vals * jnp.repeat(scale, g, axis=-1)
+                if has_zp:
+                    w = w + jnp.repeat(
+                        zp_ref[:, gi:gi + sg].astype(jnp.float32), g,
+                        axis=-1)
+            wdeq_ref[:, k0:k0 + bk] = w.astype(wdeq_ref.dtype)
+
     acc = None
     for kt in range(n_k):
         k0 = kt * bk
-        if packed:
-            # segment-major layout: segment kt of the row lives in bit
-            # position kt of every byte plane — unpack is pure lane-wise
-            # shift/mask, no reshape (see packing.py docstring)
-            codes = None
-            for j in range(code_bits):
-                plane = wq_ref[:, j, :].astype(jnp.int32)   # (BN, K/8)
-                bit = (plane >> kt) & 1
-                codes = bit if codes is None else codes | (bit << j)
-            if is_float_fmt:
-                vals = decode_float(codes, get_format(fmt_name),
-                                    dtype=jnp.float32)
-            else:
-                vals = (codes + code_min).astype(jnp.float32)
-        else:
-            vals = wq_ref[:, k0:k0 + bk].astype(jnp.float32)
-
-        if g >= bk:
-            gi = k0 // g
-            scale = scale_ref[:, gi:gi + 1].astype(jnp.float32)
-            w = vals * scale
-            if has_zp:
-                w = w + zp_ref[:, gi:gi + 1].astype(jnp.float32)
-        else:
-            sg = bk // g
-            gi = k0 // g
-            scale = scale_ref[:, gi:gi + sg].astype(jnp.float32)
-            w = vals * jnp.repeat(scale, g, axis=-1)
-            if has_zp:
-                w = w + jnp.repeat(
-                    zp_ref[:, gi:gi + sg].astype(jnp.float32), g, axis=-1)
-        wt = w.astype(x_ref.dtype)
-
         part = jax.lax.dot_general(
-            x_ref[:, k0:k0 + bk], wt, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            x_ref[:, k0:k0 + bk], wdeq_ref[:, k0:k0 + bk],
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
         acc = part if acc is None else acc + part
 
     if has_bias:
@@ -127,13 +139,16 @@ def _dequant_mm_pallas(x, wq, scale, zp, bias, *, fmt_name, code_bits,
     assert bk_ > 0, "caller must pre-check tiling feasibility"
 
     # Full-K rows are resident: bound block sizes by the VMEM budget.
+    # The dequantized-weight scratch (BN, K) in x dtype is the big consumer.
     x_row = kdim * x.dtype.itemsize
-    w_row = (code_bits * kdim // 8) if packed else kdim
+    w_row = ((code_bits * kdim // 8) if packed else kdim) \
+        + kdim * x.dtype.itemsize
     bm_ = _pick_block(m, bm, 8)
     while bm_ > 8 and bm_ * x_row > _TILE_BUDGET // 2:
         bm_ //= 2
+    # larger BN shrinks the number of full-M sweeps (x HBM refetches)
     bn_ = _pick_block(o, bn, 128)
-    while bn_ > 128 and bn_ * w_row > _TILE_BUDGET // 2:
+    while bn_ > 128 and bn_ * w_row > 3 * _TILE_BUDGET // 2:
         bn_ //= 2
     n_i, n_j = pl.cdiv(m, bm_), pl.cdiv(o, bn_)
     n_groups = scale.shape[-1]
@@ -147,11 +162,11 @@ def _dequant_mm_pallas(x, wq, scale, zp, bias, *, fmt_name, code_bits,
     if packed:
         wq_in = wq.reshape(o, code_bits, kdim // 8)
         w_spec = pl.BlockSpec((bn_, code_bits, kdim // 8),
-                              lambda i, j: (j, 0, 0),
+                              lambda j, i: (j, 0, 0),
                               memory_space=pltpu.VMEM)
     else:
         wq_in = wq
-        w_spec = pl.BlockSpec((bn_, kdim), lambda i, j: (j, 0),
+        w_spec = pl.BlockSpec((bn_, kdim), lambda j, i: (j, 0),
                               memory_space=pltpu.VMEM)
 
     kernel = functools.partial(
@@ -165,23 +180,24 @@ def _dequant_mm_pallas(x, wq, scale, zp, bias, *, fmt_name, code_bits,
                       + m * o * jnp.dtype(out_dtype).itemsize)
     return pl.pallas_call(
         kernel,
-        grid=(n_i, n_j),
+        grid=(n_j, n_i),  # j outer so the cached weight tile is reused
         in_specs=[
-            pl.BlockSpec((bm_, kdim), lambda i, j: (i, 0),
+            pl.BlockSpec((bm_, kdim), lambda j, i: (i, 0),
                          memory_space=pltpu.VMEM),
             w_spec,
-            pl.BlockSpec((bn_, n_groups), lambda i, j: (j, 0),
+            pl.BlockSpec((bn_, n_groups), lambda j, i: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bn_, n_groups), lambda i, j: (j, 0),
+            pl.BlockSpec((bn_, n_groups), lambda j, i: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn_), lambda i, j: (0, j),
+            pl.BlockSpec((1, bn_), lambda j, i: (0, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((bm_, bn_), lambda i, j: (i, j),
+        out_specs=pl.BlockSpec((bm_, bn_), lambda j, i: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, o), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bn_, kdim), x.dtype)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel")),
+            dimension_semantics=("parallel", "arbitrary")),
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0),
         interpret=pallas_interpret(),

@@ -197,7 +197,11 @@ def _weight_only_linear_2d(x2d, qt: QTensor, bias, out_dtype):
 
 def qlinear(x: jax.Array, w, bias: jax.Array | None = None,
             out_dtype=None) -> jax.Array:
-    """y = x @ w.T + bias with quantized w (QTensor) or plain array."""
+    """y = x @ w.T + bias with quantized w (QTensor), trainable w
+    (TrainQTensor), or plain array."""
+    if type(w).__name__ == "TrainQTensor":  # avoid circular import
+        from .train.matmul import train_qlinear
+        return train_qlinear(x, w, bias)
     if not isinstance(w, QTensor):
         out_dtype = out_dtype or x.dtype
         out = jnp.einsum("...c,oc->...o", x, w.astype(x.dtype),

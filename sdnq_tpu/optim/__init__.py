@@ -1,0 +1,10 @@
+from .base import OptConfig, QOptimizer, BufferQ, quantize_buffer, \
+    dequantize_buffer
+from .optimizers import adamw, lion, adafactor, came, make_optimizer
+from .muon import muon, zeropower_via_newtonschulz5
+
+__all__ = [
+    "OptConfig", "QOptimizer", "BufferQ", "quantize_buffer",
+    "dequantize_buffer", "adamw", "lion", "adafactor", "came",
+    "make_optimizer", "muon", "zeropower_via_newtonschulz5",
+]

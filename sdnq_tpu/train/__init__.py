@@ -1,0 +1,13 @@
+from .matmul import (
+    TrainQTensor, make_train_params, train_qlinear, extract_weight_grads,
+    apply_weight_updates, value_and_grad, grad,
+)
+from .convert import convert_model_to_training, \
+    convert_training_model_to_inference
+
+__all__ = [
+    "TrainQTensor", "make_train_params", "train_qlinear",
+    "extract_weight_grads", "apply_weight_updates", "value_and_grad",
+    "grad",
+    "convert_model_to_training", "convert_training_model_to_inference",
+]

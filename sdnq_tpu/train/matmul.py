@@ -1,0 +1,223 @@
+"""Trainable quantized matmuls (custom_vjp).
+
+The TPU re-design of the reference's 18 autograd forward/backward variants
+(/root/reference/src/sdnq/training/layers/linear/*): 4 matmul dtypes ×
+{static, dynamic} × {save-quantized-activations, recompute} + 2 plain.  In
+JAX the variant choice is trace-time (flags on the QTensor meta / call),
+and gradient flow works without master weights via a **delta carrier**:
+
+    TrainQTensor = (QTensor, delta)   with delta = zeros_like(W)
+
+The custom_vjp primal computes from the *stored quantized* weight (static
+int8/fp8 MXU matmul, reference linear_int8.py:89-123) and ignores delta;
+the backward returns dL/dW into delta's cotangent (grad_weight = gᵀ·x,
+grad_input = g·Wᵀ, both as dynamic-int8 GEMMs like
+linear_int8_dynamic.py:82-150).  The optimizer applies the update as
+``requantize(dequant(qt) + update)`` with stochastic rounding — exactly the
+reference's SDNQTensor.copy_ semantics (training/tensor.py:309-336).
+
+"ckpt" variants: with ``save_quantized_activations=True`` the forward saves
+int8 activations (pre-quantized along the grad-weight contraction) for the
+backward (reference linear_int8_ckpt.py); otherwise raw activations are
+saved and jax.checkpoint/remat policies decide their fate.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..kernels.scaled_mm import scaled_mm
+from ..quant.core import quantize_int_mm
+from ..quant.hadamard import rotate_hadamard
+from ..tensor import QTensor, dequantize
+from ..layers import _quantized_matmul_2d, _weight_only_linear_2d
+
+__all__ = ["TrainQTensor", "make_train_params", "train_qlinear",
+           "extract_weight_grads", "apply_weight_updates",
+           "value_and_grad", "grad"]
+
+
+def value_and_grad(fn, argnums=0, **kwargs):
+    """jax.value_and_grad that tolerates quantized (integer-storage) leaves
+    in the differentiated pytree — int leaves receive float0 cotangents and
+    the weight gradients arrive in each TrainQTensor's ``delta``."""
+    return jax.value_and_grad(fn, argnums=argnums, allow_int=True, **kwargs)
+
+
+def grad(fn, argnums=0, **kwargs):
+    return jax.grad(fn, argnums=argnums, allow_int=True, **kwargs)
+
+
+@partial(jax.tree_util.register_dataclass, data_fields=["qt", "delta"],
+         meta_fields=[])
+@dataclasses.dataclass
+class TrainQTensor:
+    """Quantized parameter + gradient-carrier delta (always zeros)."""
+    qt: QTensor
+    delta: jax.Array
+
+    @property
+    def shape(self):
+        return self.qt.meta.original_shape
+
+
+def make_train_params(params):
+    """Wrap every QTensor leaf in a TrainQTensor with a zero delta."""
+    def wrap(leaf):
+        if isinstance(leaf, QTensor):
+            return TrainQTensor(
+                qt=leaf,
+                delta=jnp.zeros(leaf.meta.original_shape, jnp.float32))
+        return leaf
+    return jax.tree_util.tree_map(
+        wrap, params, is_leaf=lambda x: isinstance(x, QTensor))
+
+
+def extract_weight_grads(grad_tree):
+    """Pull the delta cotangents out of a grad pytree (QTensor leaves carry
+    zero/float0 cotangents)."""
+    def unwrap(leaf):
+        if isinstance(leaf, TrainQTensor):
+            return leaf.delta
+        return leaf
+    return jax.tree_util.tree_map(
+        unwrap, grad_tree, is_leaf=lambda x: isinstance(x, TrainQTensor))
+
+
+def apply_weight_updates(params, updates, rng=None):
+    """new_W = dequant(qt) + update, re-quantized in place (stochastic
+    rounding when rng given)."""
+    from ..tensor import quantize_tensor
+
+    flat_p, treedef = jax.tree_util.tree_flatten(
+        params, is_leaf=lambda x: isinstance(x, (QTensor, TrainQTensor)))
+    flat_u, _ = jax.tree_util.tree_flatten(
+        updates, is_leaf=lambda x: x is None)
+    out = []
+    i = 0
+    for p in flat_p:
+        u = flat_u[i] if i < len(flat_u) else None
+        i += 1
+        if isinstance(p, TrainQTensor):
+            p = p.qt
+        if isinstance(p, QTensor) and u is not None:
+            meta = p.meta
+            w_new = dequantize(p, jnp.float32) + u.astype(jnp.float32)
+            out.append(quantize_tensor(
+                w_new, meta.fmt, meta.layer_kind,
+                matmul_fmt=meta.matmul_fmt,
+                group_size=meta.group_size,
+                hadamard_group_size=meta.hadamard_group_size,
+                svd_rank=meta.svd_rank or 32,
+                use_svd=meta.svd_rank > 0,
+                use_hadamard=meta.use_hadamard,
+                use_quantized_matmul=meta.use_quantized_matmul,
+                use_stochastic_rounding=rng is not None,
+                dequant_dtype=meta.dequant_dtype,
+                rng=rng))
+        elif u is not None and hasattr(p, "dtype"):
+            out.append((p.astype(jnp.float32)
+                        + u.astype(jnp.float32)).astype(p.dtype))
+        else:
+            out.append(p)
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+# ---------------------------------------------------------------------------
+# The trainable linear op
+# ---------------------------------------------------------------------------
+
+def _dynamic_int8_mm(a: jax.Array, b_t: jax.Array,
+                     out_dtype=jnp.float32) -> jax.Array:
+    """a (M, K) fp × b_t (N, K) fp -> (M, N): both operands quantized
+    per-call (reference linear_int8_dynamic.py:82)."""
+    a_q, a_s = quantize_int_mm(a, axis=-1)
+    b_q, b_s = quantize_int_mm(b_t, axis=-1)
+    return scaled_mm(a_q, b_q, a_s, b_s, None, out_dtype=out_dtype)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _train_linear(x2d, delta, qt, bias, save_q_acts, use_quantized_matmul):
+    return _fwd_value(x2d, qt, bias, use_quantized_matmul)
+
+
+def _fwd_value(x2d, qt, bias, use_quantized_matmul):
+    if use_quantized_matmul and qt.meta.use_quantized_matmul \
+            and x2d.shape[0] >= 32:
+        return _quantized_matmul_2d(x2d, qt, bias, jnp.bfloat16)
+    return _weight_only_linear_2d(x2d, qt, bias, jnp.bfloat16)
+
+
+def _train_linear_fwd(x2d, delta, qt, bias, save_q_acts,
+                      use_quantized_matmul):
+    y = _fwd_value(x2d, qt, bias, use_quantized_matmul)
+    # structural markers: dtype rides in a zero-size token array; bias-ness
+    # in None-vs-token structure (strings/dtypes are not pytree leaves)
+    dtype_token = jnp.zeros((0,), x2d.dtype)
+    b_marker = None if bias is None else jnp.zeros((0,), jnp.float32)
+    if save_q_acts:
+        # pre-quantize along the grad-weight contraction (rows of x)
+        xq, xs = quantize_int_mm(x2d.astype(jnp.float32).T, axis=-1)
+        saved = (xq, xs)
+    else:
+        saved = (x2d,)
+    return y, (saved, qt, b_marker, dtype_token)
+
+
+def _train_linear_bwd(save_q_acts, use_quantized_matmul, res, g):
+    saved, qt, b_marker, dtype_token = res
+    g = g.astype(jnp.float32)
+    g2d = g.reshape(-1, g.shape[-1])
+
+    # grad_input = g @ W  (dynamic int8 against the dequantized weight,
+    # reference linear_int8.py:125-163)
+    w_deq = dequantize(qt, jnp.float32)
+    if w_deq.ndim > 2:
+        w_deq = w_deq.reshape(w_deq.shape[0], -1)
+    gx = _dynamic_int8_mm(g2d, w_deq.T)
+
+    # grad_weight = gᵀ @ x
+    if save_q_acts:
+        xq, xs = saved
+        gt_q, gt_s = quantize_int_mm(g2d.T, axis=-1)
+        gw = scaled_mm(gt_q, xq, gt_s, xs, None, out_dtype=jnp.float32)
+    else:
+        x2d = saved[0].astype(jnp.float32)
+        gw = _dynamic_int8_mm(g2d.T, x2d.T)
+    gw = gw.reshape(qt.meta.original_shape)
+
+    gb = jnp.sum(g2d, axis=0) if b_marker is not None else None
+
+    # zero cotangents for the QTensor leaves (non-differentiable storage)
+    def zero_ct(leaf):
+        if leaf is None or not hasattr(leaf, "dtype"):
+            return None
+        if jnp.issubdtype(leaf.dtype, jnp.floating):
+            return jnp.zeros_like(leaf)
+        import numpy as np
+        return np.zeros(leaf.shape, jax.dtypes.float0)
+    qt_ct = QTensor(
+        qdata=zero_ct(qt.qdata), scale=zero_ct(qt.scale),
+        zero_point=zero_ct(qt.zero_point), svd_up=zero_ct(qt.svd_up),
+        svd_down=zero_ct(qt.svd_down), meta=qt.meta)
+
+    return gx.astype(dtype_token.dtype), gw, qt_ct, gb
+
+
+_train_linear.defvjp(_train_linear_fwd, _train_linear_bwd)
+
+
+def train_qlinear(x: jax.Array, w: TrainQTensor, bias=None, *,
+                  save_quantized_activations: bool = False) -> jax.Array:
+    """Trainable quantized linear: y = x @ W_qᵀ + b with straight-through
+    gradients into w.delta."""
+    lead = x.shape[:-1]
+    x2d = x.reshape(-1, x.shape[-1])
+    y = _train_linear(x2d, w.delta, w.qt, bias,
+                      save_quantized_activations,
+                      w.qt.meta.use_quantized_matmul)
+    return y.reshape(*lead, y.shape[-1])

@@ -1,0 +1,80 @@
+"""Save/load round-trip tests for safetensors and Orbax checkpoints."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from sdnq_tpu import QuantConfig, QTensor, quantize_model, dequantize
+from sdnq_tpu.io import (
+    save_quantized, load_quantized, save_checkpoint, restore_checkpoint,
+)
+
+
+def _params():
+    rng = np.random.default_rng(0)
+    w = lambda s: jnp.asarray(rng.normal(size=s).astype(np.float32))
+    return {
+        "blocks": [
+            {"attn": {"to_q": {"weight": w((256, 256)),
+                               "bias": w((256,))}}},
+            {"mlp": {"fc1": {"weight": w((512, 256))}}},
+        ],
+        "norm": {"weight": w((256,))},
+    }
+
+
+def test_safetensors_roundtrip(tmp_path):
+    params = _params()
+    cfg = QuantConfig(weights_dtype="int4", use_hadamard=True, use_svd=True,
+                      svd_rank=8)
+    qp, cfg = quantize_model(params, cfg)
+    save_quantized(qp, str(tmp_path), cfg)
+
+    loaded, cfg2 = load_quantized(str(tmp_path))
+    assert cfg2 is not None and cfg2.weights_dtype == "int4"
+    qt = loaded["blocks"][0]["attn"]["to_q"]["weight"]
+    assert isinstance(qt, QTensor)
+    assert qt.meta == qp["blocks"][0]["attn"]["to_q"]["weight"].meta
+    np.testing.assert_array_equal(
+        np.asarray(qt.qdata),
+        np.asarray(qp["blocks"][0]["attn"]["to_q"]["weight"].qdata))
+    # dequantized weights identical
+    np.testing.assert_allclose(
+        np.asarray(dequantize(qt, jnp.float32)),
+        np.asarray(dequantize(qp["blocks"][0]["attn"]["to_q"]["weight"],
+                              jnp.float32)), rtol=1e-6)
+    # plain leaves preserved (incl. bias and 1D norm weight)
+    np.testing.assert_array_equal(
+        np.asarray(loaded["norm"]["weight"]),
+        np.asarray(params["norm"]["weight"]))
+    np.testing.assert_array_equal(
+        np.asarray(loaded["blocks"][0]["attn"]["to_q"]["bias"]),
+        np.asarray(params["blocks"][0]["attn"]["to_q"]["bias"]))
+
+
+def test_safetensors_bf16_leaves(tmp_path):
+    params = {"fc": {"weight": jnp.ones((64, 64), jnp.bfloat16) * 1.5}}
+    save_quantized(params, str(tmp_path))
+    loaded, _ = load_quantized(str(tmp_path))
+    assert loaded["fc"]["weight"].dtype == jnp.bfloat16
+    assert float(loaded["fc"]["weight"][0, 0]) == 1.5
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    from sdnq_tpu.train import convert_model_to_training
+    from sdnq_tpu.optim import adamw
+
+    params = _params()
+    qp, _ = quantize_model(params, QuantConfig(weights_dtype="int8"))
+    tp = convert_model_to_training(qp)
+    opt = adamw(lr=1e-3)
+    state = opt.init(tp)
+    full = {"params": tp, "opt": state}
+
+    save_checkpoint(str(tmp_path / "ckpt"), full)
+    restored = restore_checkpoint(str(tmp_path / "ckpt"), full)
+    w0 = tp["blocks"][1]["mlp"]["fc1"]["weight"]
+    r0 = restored["params"]["blocks"][1]["mlp"]["fc1"]["weight"]
+    np.testing.assert_array_equal(np.asarray(r0.qt.qdata),
+                                  np.asarray(w0.qt.qdata))
+    assert int(restored["opt"]["step"]) == 0

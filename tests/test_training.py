@@ -1,0 +1,177 @@
+"""Quantized training tests: custom_vjp gradients, conversion, optimizers."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from sdnq_tpu import QTensor, QuantConfig, quantize_model, quantize_tensor, \
+    dequantize
+from sdnq_tpu.train import (
+    value_and_grad as vag, grad as tgrad,
+    TrainQTensor, convert_model_to_training,
+    convert_training_model_to_inference, make_train_params, train_qlinear,
+)
+from sdnq_tpu.optim import adamw, lion, adafactor, came, muon, \
+    zeropower_via_newtonschulz5, BufferQ
+
+
+def _w(shape, seed=0, scale=1.0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.normal(size=shape).astype(np.float32) * scale)
+
+
+def test_train_qlinear_grads_match_dense():
+    w = _w((128, 256))
+    x = _w((64, 256), seed=1, scale=0.3)
+    g_out = _w((64, 128), seed=2)
+    qt = quantize_tensor(w, "int8", group_size=-1)
+    tp = TrainQTensor(qt=qt, delta=jnp.zeros((128, 256), jnp.float32))
+
+    def loss(x, tp):
+        return jnp.sum(train_qlinear(x, tp) * g_out)
+
+    gx, gtp = tgrad(loss, argnums=(0, 1))(x, tp)
+    # reference grads through the dequantized weight
+    wd = dequantize(qt, jnp.float32)
+    gx_ref = g_out @ wd
+    gw_ref = g_out.T @ x
+    # dynamic-int8 backward GEMMs: ~1% relative error expected
+    rel_x = float(jnp.abs(gx - gx_ref).max() / jnp.abs(gx_ref).max())
+    rel_w = float(jnp.abs(gtp.delta - gw_ref).max() / jnp.abs(gw_ref).max())
+    assert rel_x < 0.05, rel_x
+    assert rel_w < 0.05, rel_w
+
+
+def test_train_qlinear_save_quantized_activations():
+    w = _w((128, 256))
+    x = _w((64, 256), seed=1, scale=0.3)
+    qt = quantize_tensor(w, "int8", group_size=-1)
+    tp = TrainQTensor(qt=qt, delta=jnp.zeros((128, 256), jnp.float32))
+
+    def loss(tp):
+        return jnp.sum(
+            train_qlinear(x, tp, save_quantized_activations=True) ** 2)
+
+    g = tgrad(loss)(tp)
+    assert bool(jnp.isfinite(g.delta).all())
+    assert float(jnp.abs(g.delta).max()) > 0
+
+
+def test_convert_roundtrip():
+    params = {"fc": {"weight": quantize_tensor(_w((128, 256)), "int8",
+                                               use_svd=True, svd_rank=8)},
+              "bias": {"weight": _w((64,))}}
+    tparams = convert_model_to_training(params)
+    fc = tparams["fc"]["weight"]
+    assert isinstance(fc, TrainQTensor)
+    assert fc.qt.svd_up is None  # svd baked into storage for training
+    back = convert_training_model_to_inference(tparams)
+    assert isinstance(back["fc"]["weight"], QTensor)
+
+
+@pytest.mark.parametrize("make_opt", [adamw, lion, adafactor, came])
+def test_optimizer_reduces_loss(make_opt):
+    w = _w((64, 256), scale=0.5)
+    target = _w((64, 256), seed=3, scale=0.5)
+    qt = quantize_tensor(w, "int8", group_size=64)
+    params = {"w": TrainQTensor(qt=qt,
+                                delta=jnp.zeros((64, 256), jnp.float32))}
+    opt = make_opt(lr=2e-2, quantize_state=True, stochastic_rounding=True)
+    state = opt.init(params)
+
+    def loss_fn(params):
+        wd = dequantize(params["w"].qt, jnp.float32) + params["w"].delta
+        return jnp.mean((wd - target) ** 2)
+
+    losses = []
+    rng = jax.random.key(0)
+    for i in range(12):
+        rng, k = jax.random.split(rng)
+        loss, grads = vag(loss_fn)(params)
+        params, state = opt.update(grads, state, params, rng=k)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.9, losses
+
+
+def test_optimizer_state_is_quantized():
+    qt = quantize_tensor(_w((256, 256)), "int8")
+    params = {"w": TrainQTensor(qt=qt,
+                                delta=jnp.zeros((256, 256), jnp.float32))}
+    opt = adamw(lr=1e-3, quantize_state=True)
+    state = opt.init(params)
+    st = state["per_param"][0]
+    assert isinstance(st["m"], BufferQ)
+    assert isinstance(st["v"], BufferQ)
+    assert st["m"].qdata.dtype == jnp.uint8  # microfloat codes
+    assert st["v"].unsigned
+    assert "kahan" in st
+
+
+def test_newton_schulz_orthogonalizes():
+    g = _w((64, 128), seed=4)
+    o = zeropower_via_newtonschulz5(g, steps=10, dtype=jnp.float32)
+    gram = np.asarray(o @ o.T)
+    # approximately orthogonal rows
+    off = gram - np.eye(64)
+    assert np.abs(off).max() < 0.35
+
+
+def test_muon_step():
+    qt = quantize_tensor(_w((64, 256), scale=0.5), "int8", group_size=64)
+    params = {"w": TrainQTensor(qt=qt,
+                                delta=jnp.zeros((64, 256), jnp.float32)),
+              "b": _w((64,), seed=5)}
+    opt = muon(lr=1e-2)
+    state = opt.init(params)
+    target = _w((64, 256), seed=6, scale=0.5)
+
+    def loss_fn(params):
+        wd = dequantize(params["w"].qt, jnp.float32) + params["w"].delta
+        return jnp.mean((wd - target) ** 2) + jnp.mean(params["b"] ** 2)
+
+    losses = []
+    rng = jax.random.key(1)
+    for _ in range(10):
+        rng, k = jax.random.split(rng)
+        loss, grads = vag(loss_fn)(params)
+        params, state = opt.update(grads, state, params, rng=k)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses
+
+
+def test_jitted_full_train_step():
+    """End-to-end: jitted loss + grad + optimizer update on a quantized
+    2-layer MLP."""
+    k = jax.random.key(0)
+    params = {
+        "fc1": {"weight": _w((256, 128)), "bias": jnp.zeros((256,))},
+        "fc2": {"weight": _w((128, 256), seed=1), "bias": jnp.zeros((128,))},
+    }
+    qp, _ = quantize_model(params, QuantConfig(weights_dtype="int8"))
+    tp = convert_model_to_training(qp)
+    opt = adamw(lr=1e-2)
+    state = opt.init(tp)
+    x = _w((32, 128), seed=2)
+    y = _w((32, 128), seed=3)
+
+    from sdnq_tpu import qlinear
+
+    def loss_fn(tp):
+        h = jax.nn.gelu(qlinear(x, tp["fc1"]["weight"], tp["fc1"]["bias"]))
+        out = qlinear(h, tp["fc2"]["weight"], tp["fc2"]["bias"])
+        return jnp.mean((out.astype(jnp.float32) - y) ** 2)
+
+    @jax.jit
+    def step(tp, state, key):
+        loss, grads = vag(loss_fn)(tp)
+        tp, state = opt.update(grads, state, tp, rng=key)
+        return loss, tp, state
+
+    losses = []
+    rng = jax.random.key(4)
+    for _ in range(8):
+        rng, k2 = jax.random.split(rng)
+        loss, tp, state = step(tp, state, k2)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses
