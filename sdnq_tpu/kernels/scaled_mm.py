@@ -109,7 +109,7 @@ def _pick_k_block(kdim: int, preferred: int) -> int:
 )
 def _scaled_mm_pallas(x_q, w_q, x_scale, w_scale, bias,
                       out_dtype=jnp.bfloat16, acc_dtype=jnp.int32,
-                      bm=512, bn=512, bk=512):
+                      bm=1024, bn=1024, bk=1024):
     m, kdim = x_q.shape
     o, _ = w_q.shape
     sublane = 32 if x_q.dtype.itemsize == 1 else 8

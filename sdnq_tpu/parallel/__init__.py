@@ -2,9 +2,10 @@ from .mesh import create_mesh, Mesh, NamedSharding, P
 from .sharding import (
     qtensor_shardings, shard_params, DIT_TP_RULES, logical_axis_rules,
 )
+from .ring_attention import ring_attention
 
 __all__ = [
     "create_mesh", "Mesh", "NamedSharding", "P",
     "qtensor_shardings", "shard_params", "DIT_TP_RULES",
-    "logical_axis_rules",
+    "logical_axis_rules", "ring_attention",
 ]

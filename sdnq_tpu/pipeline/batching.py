@@ -1,0 +1,109 @@
+"""Continuous batching for diffusion denoise loops.
+
+vLLM-style slot scheduling adapted to diffusion (BASELINE north star:
+"diffusion denoising batches continuously scheduled across hosts"): the
+chip always runs a full fixed-shape batch of model steps, but each slot
+carries its own latent, conditioning, and timestep index.  When a slot's
+denoise trajectory completes, its image is emitted and a queued request is
+admitted into the slot mid-flight — no pipeline drain, no recompilation
+(shapes are static; per-slot timesteps are data).
+
+The device step is one jitted SPMD program (batch rides the `data` mesh
+axis across hosts); the admission logic is host-side Python between steps.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from collections import deque
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["Request", "ContinuousBatcher"]
+
+
+@dataclasses.dataclass
+class Request:
+    request_id: int
+    cond: Any                 # conditioning pytree (text embeddings, ...)
+    num_steps: int
+    rng_seed: int = 0
+    result: Any = None
+
+
+class ContinuousBatcher:
+    """Host-side slot scheduler around a jitted per-step function.
+
+    step_fn(latents, cond, t_idx, active) -> new_latents
+      latents: (S, ...) slot-stacked; cond: slot-stacked pytree;
+      t_idx: (S,) int32 per-slot step index; active: (S,) bool.
+    The function must treat inactive slots as no-ops (mask or harmless
+    compute — the batcher ignores their outputs).
+    """
+
+    def __init__(self, step_fn: Callable, init_latent_fn: Callable,
+                 num_slots: int, num_steps_max: int):
+        self.step_fn = step_fn
+        self.init_latent_fn = init_latent_fn
+        self.num_slots = num_slots
+        self.num_steps_max = num_steps_max
+        self.queue: deque[Request] = deque()
+        self.slots: list[Request | None] = [None] * num_slots
+        self.latents = None
+        self.cond = None
+        self.t_idx = np.zeros((num_slots,), np.int32)
+        self.steps_left = np.zeros((num_slots,), np.int32)
+        self.completed: list[Request] = []
+
+    def submit(self, req: Request):
+        self.queue.append(req)
+
+    def _admit(self):
+        changed = False
+        for s in range(self.num_slots):
+            if self.slots[s] is None and self.queue:
+                req = self.queue.popleft()
+                self.slots[s] = req
+                lat = self.init_latent_fn(req)
+                if self.latents is None:
+                    shape = (self.num_slots,) + lat.shape
+                    self.latents = jnp.zeros(shape, lat.dtype)
+                    self.cond = jax.tree_util.tree_map(
+                        lambda c: jnp.zeros((self.num_slots,) + c.shape,
+                                            c.dtype), req.cond)
+                self.latents = self.latents.at[s].set(lat)
+                self.cond = jax.tree_util.tree_map(
+                    lambda full, c: full.at[s].set(c), self.cond, req.cond)
+                self.t_idx[s] = 0
+                self.steps_left[s] = req.num_steps
+                changed = True
+        return changed
+
+    @property
+    def busy(self) -> bool:
+        return bool(self.queue) or any(s is not None for s in self.slots)
+
+    def run(self, max_iterations: int = 100000):
+        """Drain the queue; returns completed requests in finish order."""
+        it = 0
+        while self.busy and it < max_iterations:
+            it += 1
+            self._admit()
+            active = np.array([s is not None for s in self.slots])
+            if not active.any():
+                break
+            self.latents = self.step_fn(
+                self.latents, self.cond,
+                jnp.asarray(self.t_idx), jnp.asarray(active))
+            self.t_idx += active.astype(np.int32)
+            self.steps_left -= active.astype(np.int32)
+            for s in range(self.num_slots):
+                if self.slots[s] is not None and self.steps_left[s] <= 0:
+                    req = self.slots[s]
+                    req.result = np.asarray(self.latents[s])
+                    self.completed.append(req)
+                    self.slots[s] = None
+        return self.completed
