@@ -1,0 +1,151 @@
+"""HF checkpoint interop: map diffusers/transformers state dicts into the
+functional param trees (and quantize on the fly while streaming).
+
+The reference integrates as an HF quantizer plugin and quantizes models
+param-by-param during ``from_pretrained``
+(/root/reference/src/sdnq/quantizer.py:592-810).  The TPU-native analogue:
+stream tensors out of safetensors shards, assemble the nested param tree
+(dots -> nesting, integer components -> list indices), and quantize each
+eligible weight on device as it arrives — the model skeleton is never
+materialized in full precision.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Any, Callable, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import QuantConfig
+from ..policy import (add_model_skip_keys, check_param_name_in,
+                      layer_quant_kwargs, quant_allowed,
+                      quantized_matmul_allowed)
+from ..apply import infer_layer_kind
+from ..tensor import quantize_tensor
+
+__all__ = ["stream_state_dict", "assemble_params",
+           "load_and_quantize_state_dict"]
+
+
+def stream_state_dict(path: str) -> Iterator[tuple[str, np.ndarray]]:
+    """Yield (key, tensor) from a file or a sharded-index directory, like
+    the reference's file loader (file_loader.py:48-64)."""
+    from safetensors import safe_open
+
+    if os.path.isdir(path):
+        index = os.path.join(path, "model.safetensors.index.json")
+        if os.path.exists(index):
+            with open(index) as f:
+                weight_map = json.load(f)["weight_map"]
+            files = sorted(set(weight_map.values()))
+        else:
+            files = sorted(f for f in os.listdir(path)
+                           if f.endswith(".safetensors"))
+        files = [os.path.join(path, f) for f in files]
+    else:
+        files = [path]
+    for fname in files:
+        with safe_open(fname, framework="np") as f:
+            for key in f.keys():
+                yield key, f.get_tensor(key)
+
+
+def assemble_params(items, key_map: Callable[[str], str | None] = None):
+    """Build a nested dict/list tree from dotted keys."""
+    tree: dict = {}
+    for key, value in items:
+        if key_map is not None:
+            key = key_map(key)
+            if key is None:
+                continue
+        parts = key.split(".")
+        node = tree
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        node[parts[-1]] = value
+    return _listify(tree)
+
+
+def _listify(tree):
+    if not isinstance(tree, dict):
+        return tree
+    out = {k: _listify(v) for k, v in tree.items()}
+    keys = list(out)
+    if keys and all(k.isdigit() for k in keys):
+        order = sorted(keys, key=int)
+        if [int(k) for k in order] == list(range(len(order))):
+            return [out[k] for k in order]
+    return out
+
+
+def load_and_quantize_state_dict(
+    path: str,
+    config: QuantConfig | None = None,
+    *,
+    arch: str | None = None,
+    key_map: Callable[[str], str | None] = None,
+    kinds: dict[str, str] | None = None,
+    dtype=jnp.bfloat16,
+    rng=None,
+):
+    """Stream a checkpoint and quantize eligible weights tensor-by-tensor
+    (the reference's create_quantized_param streaming path,
+    quantizer.py:626-677).  Returns (params, config)."""
+    if config is None:
+        config = QuantConfig()
+    config = add_model_skip_keys(config, arch)
+
+    def items():
+        for key, tensor in stream_state_dict(path):
+            mapped = key_map(key) if key_map else key
+            if mapped is None:
+                continue
+            arr = jnp.asarray(_torch_to_np(tensor))
+            yield mapped, _maybe_quantize(mapped, arr, config, kinds, dtype,
+                                          rng)
+
+    return assemble_params(items()), config
+
+
+def _torch_to_np(t: np.ndarray) -> np.ndarray:
+    # safetensors numpy framework handles dtypes; bf16 arrives as uint16
+    # views from some writers — ml_dtypes handles the cast upstream
+    return t
+
+
+def _maybe_quantize(path: str, arr: jax.Array, config: QuantConfig,
+                    kinds, dtype, rng):
+    if not path.endswith(("weight", "kernel")) or arr.ndim < 2:
+        return arr.astype(dtype) if jnp.issubdtype(arr.dtype, jnp.floating) \
+            else arr
+    kind = None
+    if kinds:
+        m = check_param_name_in(path, list(kinds))
+        if m is not None:
+            kind = kinds[m]
+    if kind is None:
+        kind = infer_layer_kind(path, arr)
+    if kind is None or not quant_allowed(kind, tuple(arr.shape), config) \
+            or check_param_name_in(path, config.modules_to_not_convert):
+        return arr.astype(dtype) if jnp.issubdtype(arr.dtype, jnp.floating) \
+            else arr
+    kw = layer_quant_kwargs(config, path, kind)
+    if kind == "linear":
+        kw["use_quantized_matmul"] = quantized_matmul_allowed(
+            kw["use_quantized_matmul"], arr.shape[-2], arr.shape[-1])
+    elif kind == "conv":
+        kw["use_quantized_matmul"] = quantized_matmul_allowed(
+            kw["use_quantized_matmul"], arr.shape[0], arr.shape[1])
+    else:
+        kw["use_quantized_matmul"] = False
+    if config.use_dynamic_quantization:
+        from ..dynamic import quantize_tensor_dynamic
+        qt = quantize_tensor_dynamic(arr, layer_kind=kind, config=config,
+                                     param_name=path, rng=rng, **kw)
+        return qt if qt is not None else arr.astype(dtype)
+    return quantize_tensor(arr, layer_kind=kind, rng=rng, **kw)

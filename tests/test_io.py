@@ -78,3 +78,34 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(r0.qt.qdata),
                                   np.asarray(w0.qt.qdata))
     assert int(restored["opt"]["step"]) == 0
+
+
+def test_streaming_hf_load_and_quantize(tmp_path):
+    """Simulate an HF checkpoint: flat dotted keys in safetensors -> stream,
+    assemble, quantize on the fly."""
+    from safetensors.numpy import save_file
+    from sdnq_tpu.io import load_and_quantize_state_dict
+
+    rng = np.random.default_rng(0)
+    sd = {
+        "transformer_blocks.0.attn.to_q.weight":
+            rng.normal(size=(256, 256)).astype(np.float32),
+        "transformer_blocks.0.attn.to_q.bias":
+            rng.normal(size=(256,)).astype(np.float32),
+        "transformer_blocks.1.ff.fc1.weight":
+            rng.normal(size=(512, 256)).astype(np.float32),
+        "proj_out.weight": rng.normal(size=(64, 256)).astype(np.float32),
+        "norm.weight": rng.normal(size=(256,)).astype(np.float32),
+    }
+    save_file(sd, str(tmp_path / "model.safetensors"))
+    params, cfg = load_and_quantize_state_dict(
+        str(tmp_path / "model.safetensors"),
+        QuantConfig(weights_dtype="int8"),
+        arch="FluxTransformer2DModel")
+    blocks = params["transformer_blocks"]
+    assert isinstance(blocks, list) and len(blocks) == 2
+    assert isinstance(blocks[0]["attn"]["to_q"]["weight"], QTensor)
+    assert isinstance(blocks[1]["ff"]["fc1"]["weight"], QTensor)
+    # proj_out is a skip key for Flux
+    assert not isinstance(params["proj_out"]["weight"], QTensor)
+    assert blocks[0]["attn"]["to_q"]["bias"].dtype == jnp.bfloat16
