@@ -24,6 +24,7 @@ from .tensor import QTensor, QuantMeta, quantize_tensor, dequantize
 from .dynamic import quantize_tensor_dynamic, quantization_loss
 from .apply import quantize_model, dequantize_model, model_memory_footprint
 from .layers import qlinear, qconv, qembedding
+from .options import apply_options_to_model, requantize_model
 
 __all__ = [
     "FORMATS",
@@ -46,5 +47,7 @@ __all__ = [
     "qlinear",
     "qconv",
     "qembedding",
+    "apply_options_to_model",
+    "requantize_model",
     "__version__",
 ]

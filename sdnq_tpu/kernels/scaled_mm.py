@@ -109,12 +109,16 @@ def _pick_k_block(kdim: int, preferred: int) -> int:
 )
 def _scaled_mm_pallas(x_q, w_q, x_scale, w_scale, bias,
                       out_dtype=jnp.bfloat16, acc_dtype=jnp.int32,
-                      bm=1024, bn=1024, bk=1024):
+                      bm=0, bn=0, bk=0):
     m, kdim = x_q.shape
     o, _ = w_q.shape
     sublane = 32 if x_q.dtype.itemsize == 1 else 8
-    bm_ = _pick_block(m, bm, sublane)
-    bn_ = _pick_block(o, bn, 128)
+    # Deep-K blocks win on v5e (on-chip sweep: 512x512x4096 = 291 TF vs
+    # 1024^3 = 255 TF at the reference shape): fewer accumulator
+    # read-modify-writes, bigger MXU dots.  Default policy: take K as deep
+    # as VMEM allows, then size bm/bn to keep (x+w)*2buf + acc under ~12MB.
+    if bk == 0:
+        bk = 4096
     bk_ = _pick_k_block(kdim, bk)
     if bk_ == 0:  # zero-pad K (zeros contribute nothing to the dot)
         kpad = (kdim + 127) // 128 * 128
@@ -122,6 +126,17 @@ def _scaled_mm_pallas(x_q, w_q, x_scale, w_scale, bias,
         w_q = jnp.pad(w_q, ((0, 0), (0, kpad - kdim)))
         kdim = kpad
         bk_ = _pick_k_block(kdim, bk)
+    if bm == 0 or bn == 0:
+        default = 512 if bk_ >= 2048 else 1024
+        bm = bm or default
+        bn = bn or default
+        itemsize = x_q.dtype.itemsize
+        while (bm + bn) * bk_ * itemsize * 2 + bm * bn * 4 > 12 * 2 ** 20 \
+                and bm > 128:
+            bm //= 2
+            bn = max(bn // 2, 128)
+    bm_ = _pick_block(m, bm, sublane)
+    bn_ = _pick_block(o, bn, 128)
     n_i, n_j, n_k = pl.cdiv(m, bm_), pl.cdiv(o, bn_), pl.cdiv(kdim, bk_)
 
     has_xs, has_ws, has_bias = (x_scale is not None, w_scale is not None,

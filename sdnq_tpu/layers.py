@@ -254,9 +254,10 @@ def qconv(x: jax.Array, w, bias: jax.Array | None = None, *,
         out_dtype = out_dtype or x.dtype
 
     if transpose:
-        # stored (C_in, C_out, *k)
+        # stored (C_in, C_out, *k); transpose_kernel=True expects the
+        # corresponding *forward* conv kernel (spatial, I=C_out, O=C_in)
         out = jax.lax.conv_transpose(
-            x, jnp.moveaxis(wd, (0, 1), (-2, -1)),
+            x, jnp.moveaxis(wd, (0, 1), (-1, -2)),
             strides=stride, padding=padding,
             rhs_dilation=dilation,
             dimension_numbers=_dim_numbers(nd),
