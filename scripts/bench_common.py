@@ -1,0 +1,46 @@
+"""Shared benchmark harness (reference: scripts/benchmark_sdnq_inference.py:34-60
+— wall-clock TFLOPS with per-path failure capture)."""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+
+
+def timeit(fn, *args, steps=20, warmup=1):
+    out = None
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / steps
+
+
+def run_path(name: str, fn, *args, flops: float, steps=20):
+    """Time one path; a failing path reports 0 like the reference."""
+    try:
+        t = timeit(fn, *args, steps=steps)
+        tflops = flops / t / 1e12
+        print(f"{name:42s} {tflops:9.2f} TFLOPS  ({t*1e3:8.2f} ms)",
+              flush=True)
+        return tflops
+    except Exception as e:  # noqa: BLE001
+        print(f"{name:42s} test failed: {str(e)[:80]}", flush=True)
+        return 0.0
+
+
+def make_linear_inputs(m=16384, n=8192, k=4096, seed=0):
+    rng = np.random.default_rng(seed)
+    w = jnp.asarray(rng.normal(size=(n, k)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(n,)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(m, k)).astype(np.float32) * 0.3) \
+        .astype(jnp.bfloat16)
+    return x, w, b, 2.0 * m * n * k

@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Model-level benchmark: DiT denoise steps/sec, bf16 vs quantized
+(the images/sec/chip proxy from BASELINE.json)."""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scripts.bench_common import timeit
+from sdnq_tpu import QuantConfig, quantize_model
+from sdnq_tpu.models import DiTConfig, dit_forward, init_dit, \
+    make_rope_freqs, stack_dit_blocks
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--hidden", type=int, default=1536)
+    ap.add_argument("--double", type=int, default=6)
+    ap.add_argument("--single", type=int, default=12)
+    ap.add_argument("--heads", type=int, default=12)
+    ap.add_argument("--tokens", type=int, default=1024)
+    ap.add_argument("--txt", type=int, default=256)
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--fmt", type=str, default="int8")
+    ap.add_argument("--steps", type=int, default=10)
+    args = ap.parse_args()
+
+    hd = args.hidden // args.heads
+    a1 = max(2, hd // 8 // 2 * 2)
+    rest = (hd - a1) // 2 // 2 * 2
+    a1 = hd - 2 * rest  # rope axis dims must be even and sum to head_dim
+    cfg = DiTConfig(in_channels=64, hidden_size=args.hidden,
+                    num_heads=args.heads, depth_double=args.double,
+                    depth_single=args.single, txt_dim=2048, vec_dim=768,
+                    axes_dims=(a1, rest, rest))
+    params = init_dit(jax.random.key(0), cfg, dtype=jnp.float32)
+
+    rng = np.random.default_rng(0)
+    side = int(args.tokens ** 0.5)
+    img = jnp.asarray(rng.normal(size=(args.batch, side * side,
+                                       cfg.in_channels))
+                      .astype(np.float32)).astype(jnp.bfloat16)
+    txt = jnp.asarray(rng.normal(size=(args.batch, args.txt, cfg.txt_dim))
+                      .astype(np.float32)).astype(jnp.bfloat16)
+    t = jnp.full((args.batch,), 0.5, jnp.float32)
+    pooled = jnp.ones((args.batch, cfg.vec_dim), jnp.bfloat16)
+    freqs = make_rope_freqs(cfg, args.txt, (side, side))
+
+    def run(p, attn):
+        return jax.jit(lambda img: dit_forward(
+            p, img, txt, t, pooled, cfg, guidance=t, freqs=freqs,
+            attn_config=attn))
+
+    params_s = stack_dit_blocks(params)
+    t_bf16 = timeit(run(params_s, None), img, steps=args.steps)
+    print(f"bf16:    {t_bf16*1e3:8.2f} ms/step "
+          f"({1/t_bf16:.2f} steps/s)", flush=True)
+
+    qp, _ = quantize_model(
+        params, QuantConfig(weights_dtype=args.fmt,
+                            use_quantized_matmul=True),
+        arch="FluxTransformer2DModel")
+    qp = stack_dit_blocks(qp)
+    t_q = timeit(run(qp, {"matmul_dtype": "int8"}), img, steps=args.steps)
+    print(f"{args.fmt}: {t_q*1e3:8.2f} ms/step ({1/t_q:.2f} steps/s)  "
+          f"{t_bf16/t_q:.2f}x bf16", flush=True)
+
+
+if __name__ == "__main__":
+    main()

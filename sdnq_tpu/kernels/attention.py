@@ -54,6 +54,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, qs_ref, ks_ref, vs_ref, mask_ref,
     row0 = i * bm
 
     q = q_ref[0]                                   # (BM, D)
+    acc_t = jnp.int32 if q.dtype == jnp.int8 else jnp.float32
     if quantized:
         qs = qs_ref[0]                             # (BM, 1)
     m_i = jnp.full((bm, 1), _NEG_INF, jnp.float32)
@@ -68,7 +69,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, qs_ref, ks_ref, vs_ref, mask_ref,
         if quantized:
             s = jax.lax.dot_general(
                 q, k_blk, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.int32).astype(jnp.float32)
+                preferred_element_type=acc_t).astype(jnp.float32)
             s = s * qs * ks_ref[0, :, k0:k0 + bk]  # (1, BK)
         else:
             s = jax.lax.dot_general(
@@ -181,8 +182,10 @@ def _attn_pallas(q, k, v, q_scale, k_scale, v_scale, mask, *, causal,
 def _attn_xla(q, k, v, q_scale, k_scale, v_scale, mask, *, causal,
               quantized, quantized_pv, sm_scale, mask_is_bool, out_dtype):
     if quantized:
-        s = jnp.einsum("bnd,bkd->bnk", q.astype(jnp.int32),
-                       k.astype(jnp.int32)).astype(jnp.float32)
+        acc_t = jnp.int32 if q.dtype == jnp.int8 else jnp.float32
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=acc_t).astype(jnp.float32)
         s = s * q_scale[..., None] * k_scale[:, None, :]
     else:
         s = jnp.einsum("bnd,bkd->bnk", q.astype(jnp.float32),
@@ -248,6 +251,9 @@ def quantized_attention(
         out_dtype = query.dtype
     if scale is None:
         scale = d ** -0.5
+    if matmul_dtype in ("auto", "enabled", "uint8"):
+        matmul_dtype = "int8"  # reference: triton_atten.py:204-207
+    use_fp8 = matmul_dtype in ("fp8", "float8_e4m3fn")
     do_quant = matmul_dtype not in (None, "none", "no", "disabled")
     do_quant_pv = pv_matmul_dtype not in (None, "auto", "none", "no",
                                           "disabled")
@@ -283,8 +289,13 @@ def quantized_attention(
             mask = mask.astype(jnp.int8)
 
     if do_quant:
-        q_q, q_s = quantize_int_mm(qf, axis=-1)
-        k_q, k_s = quantize_int_mm(kf, axis=-1)
+        if use_fp8:
+            from ..quant.core import quantize_fp_mm
+            q_q, q_s = quantize_fp_mm(qf, axis=-1)
+            k_q, k_s = quantize_fp_mm(kf, axis=-1)
+        else:
+            q_q, q_s = quantize_int_mm(qf, axis=-1)
+            k_q, k_s = quantize_int_mm(kf, axis=-1)
         q_scale = q_s.reshape(b * h, n) * scale
         k_scale = k_s.reshape(b * kh, kn)
     else:

@@ -1,5 +1,5 @@
 from .dit import (
-    DiTConfig, init_dit, dit_forward, make_rope_freqs,
+    DiTConfig, init_dit, dit_forward, make_rope_freqs, stack_dit_blocks,
     FLUX_DEV_CONFIG, FLUX_TINY_CONFIG,
 )
 from .unet import (
@@ -17,6 +17,7 @@ from .text_encoder import (
 
 __all__ = [
     "DiTConfig", "init_dit", "dit_forward", "make_rope_freqs",
+    "stack_dit_blocks",
     "FLUX_DEV_CONFIG", "FLUX_TINY_CONFIG",
     "UNetConfig", "SD15_CONFIG", "SDXL_CONFIG", "UNET_TINY_CONFIG",
     "init_unet", "unet_forward",

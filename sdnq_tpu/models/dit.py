@@ -254,12 +254,37 @@ def dit_forward(params: Params, img: jax.Array, txt: jax.Array,
         side = int(round(n_img ** 0.5))
         freqs = make_rope_freqs(cfg, txt.shape[1], (side, n_img // side))
 
-    for blk in params["transformer_blocks"]:
-        img, txt = _double_block(blk, img, txt, vec, freqs, cfg, attn_config)
+    def dbody(carry, blk):
+        img, txt = carry
+        return _double_block(blk, img, txt, vec, freqs, cfg,
+                             attn_config), None
+
+    tb = params["transformer_blocks"]
+    if isinstance(tb, list):
+        for blk in tb:
+            img, txt = _double_block(blk, img, txt, vec, freqs, cfg,
+                                     attn_config)
+    else:  # stacked (stack_dit_blocks): scan -> ONE traced block
+        if isinstance(tb, dict) and "first" in tb:
+            img, txt = _double_block(tb["first"], img, txt, vec, freqs,
+                                     cfg, attn_config)
+            tb = tb["rest"]
+        (img, txt), _ = jax.lax.scan(dbody, (img, txt), tb)
 
     x = jnp.concatenate([txt, img], axis=1)
-    for blk in params["single_transformer_blocks"]:
-        x = _single_block(blk, x, vec, freqs, cfg, attn_config)
+
+    def sbody(x, blk):
+        return _single_block(blk, x, vec, freqs, cfg, attn_config), None
+
+    sb = params["single_transformer_blocks"]
+    if isinstance(sb, list):
+        for blk in sb:
+            x = _single_block(blk, x, vec, freqs, cfg, attn_config)
+    else:
+        if isinstance(sb, dict) and "first" in sb:
+            x = _single_block(sb["first"], x, vec, freqs, cfg, attn_config)
+            sb = sb["rest"]
+        x, _ = jax.lax.scan(sbody, x, sb)
     img = x[:, txt.shape[1]:]
 
     shift, scale = _modulation(params["norm_out"], vec, 2)
@@ -271,3 +296,34 @@ def dit_forward(params: Params, img: jax.Array, txt: jax.Array,
 def _vec_mlp(p, x):
     h = qlinear(x, p["fc1"]["weight"], p["fc1"].get("bias"))
     return qlinear(silu(h), p["fc2"]["weight"], p["fc2"].get("bias"))
+
+
+def stack_dit_blocks(params: Params) -> Params:
+    """Stack the homogeneous block lists along a leading layer axis so
+    dit_forward scans them: the block body (and every Pallas kernel in it)
+    traces ONCE instead of once per layer — compile time and the XLA
+    program size drop by ~depth.  Requires uniform quantization metadata
+    across blocks (not compatible with per-layer dynamic formats — keep
+    those as lists).  QTensor leaves stack component-wise; the shared
+    static meta keeps per-layer shapes, which scan slices back out."""
+    def try_stack(blocks):
+        return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *blocks)
+
+    out = dict(params)
+    for key in ("transformer_blocks", "single_transformer_blocks"):
+        blocks = params.get(key)
+        if not isinstance(blocks, list) or not blocks:
+            continue
+        if len(blocks) == 1:
+            out[key] = jax.tree_util.tree_map(lambda x: x[None], blocks[0])
+            continue
+        defs = [jax.tree_util.tree_structure(b) for b in blocks]
+        if all(d == defs[0] for d in defs[1:]):
+            out[key] = try_stack(blocks)
+        elif len(blocks) > 2 and all(d == defs[1] for d in defs[2:]):
+            # Flux skip registry leaves block 0's modulation unquantized
+            # (policy.MODEL_SKIP_KEYS '...blocks.0.norm...'): keep the
+            # heterogeneous head as-is, scan the uniform tail
+            out[key] = {"first": blocks[0], "rest": try_stack(blocks[1:])}
+        # else: leave the list (per-layer dynamic formats etc.)
+    return out

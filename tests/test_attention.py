@@ -144,3 +144,22 @@ def test_odd_head_dim_padding(monkeypatch):
     ref = _ref_attention(q, k, v)
     assert out.shape == (2, 4, 128, 80)
     assert np.abs(np.asarray(out) - ref).max() < 0.06
+
+
+def test_fp8_qk():
+    q, k, v = _qkv(seed=9)
+    out = quantized_attention(q, k, v, matmul_dtype="fp8",
+                              out_dtype=jnp.float32)
+    ref = _ref_attention(q, k, v)
+    # e4m3 QK (3 mantissa bits) is noisier than int8 — reference finds the
+    # same (fp8 attention trails int8 accuracy)
+    assert np.abs(np.asarray(out) - ref).max() < 0.12
+
+
+def test_fp8_qk_pallas_interpret(monkeypatch):
+    monkeypatch.setenv("SDNQ_TPU_KERNEL_BACKEND", "interpret")
+    q, k, v = _qkv(n=128, kn=128, seed=10)
+    out = quantized_attention(q, k, v, matmul_dtype="fp8",
+                              out_dtype=jnp.float32)
+    ref = _ref_attention(q, k, v)
+    assert np.abs(np.asarray(out) - ref).max() < 0.12

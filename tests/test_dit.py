@@ -80,3 +80,34 @@ def test_dit_jit_and_quant_attention():
         attn_config={"matmul_dtype": "int8"}))
     out = fwd(params, img)
     assert bool(jnp.isfinite(out).all())
+
+
+def test_stacked_blocks_match_list():
+    from sdnq_tpu.models import stack_dit_blocks
+    cfg = FLUX_TINY_CONFIG
+    params = init_dit(jax.random.key(0), cfg)
+    img, txt, t, pooled, g, freqs = _inputs(cfg)
+    ref = dit_forward(params, img, txt, t, pooled, cfg, guidance=g,
+                      freqs=freqs)
+    stacked = stack_dit_blocks(params)
+    out = dit_forward(stacked, img, txt, t, pooled, cfg, guidance=g,
+                      freqs=freqs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4,
+                               rtol=1e-4)
+
+
+def test_stacked_quantized_blocks():
+    from sdnq_tpu.models import stack_dit_blocks
+    cfg = FLUX_TINY_CONFIG
+    params = init_dit(jax.random.key(0), cfg)
+    qp, _ = quantize_model(params, QuantConfig(weights_dtype="int8",
+                                               dequant_dtype="float32"),
+                           arch="FluxTransformer2DModel")
+    img, txt, t, pooled, g, freqs = _inputs(cfg)
+    ref = dit_forward(qp, img, txt, t, pooled, cfg, guidance=g, freqs=freqs)
+    stacked = stack_dit_blocks(qp)
+    out = jax.jit(lambda p, i: dit_forward(p, i, txt, t, pooled, cfg,
+                                           guidance=g, freqs=freqs))(
+        stacked, img)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-3,
+                               rtol=1e-3)
