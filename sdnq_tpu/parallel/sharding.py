@@ -101,28 +101,83 @@ def _array_sharding(path: str, leaf, mesh: Mesh, mode: str | None,
     return _spec(mesh)
 
 
+def _shift_spec(sh: NamedSharding, mesh: Mesh) -> NamedSharding:
+    """Prepend a replicated leading (layer-stack) dimension to a spec."""
+    return NamedSharding(mesh, P(None, *sh.spec))
+
+
 def shard_params(params, mesh: Mesh, rules: dict[str, str | None],
-                 default: str | None = None, axis: str = "tensor"):
+                 default: str | None = None, axis: str = "tensor",
+                 stacked_prefixes: tuple = ("transformer_blocks.rest",
+                                            "single_transformer_blocks.rest",
+                                            "transformer_blocks",
+                                            "single_transformer_blocks")):
     """Apply NamedShardings to a param pytree via jax.device_put.
 
     `rules` maps name patterns (policy.check_param_name_in semantics) to a
     mode in {"col", "row", "fsdp", None}.  Bias vectors follow their
-    layer's mode for "col"/"fsdp" (they are per-output-channel)."""
+    layer's mode for "col"/"fsdp" (they are per-output-channel).
+
+    Scan-stacked block params (models.stack_dit_blocks) carry a leading
+    layer axis: leaves whose path starts with a `stacked_prefixes` entry
+    NOT followed by a numeric index get their spec shifted right by one
+    (layer axis replicated)."""
     flat, treedef = _flatten_with_paths(params)
     out = []
     for path, leaf in flat:
         match = check_param_name_in(path, list(rules))
         mode = rules[match] if match is not None else default
+        def _is_stacked(path):
+            for pfx in stacked_prefixes:
+                if not path.startswith(pfx + "."):
+                    continue
+                head = path[len(pfx) + 1:].split(".")[0]
+                # numeric -> plain list entry; "first" -> unstacked hetero
+                # head block (stack_dit_blocks)
+                if not head.isdigit() and head != "first":
+                    return True
+            return False
+        stacked = _is_stacked(path)
         if isinstance(leaf, QTensor):
-            sh = qtensor_shardings(leaf, mesh, mode, axis)
+            if stacked:
+                # validate axes against the per-layer (unstacked) shapes,
+                # then shift the specs right past the layer axis
+                def strip(a):
+                    return None if a is None else jax.ShapeDtypeStruct(
+                        a.shape[1:], a.dtype)
+                virt = QTensor(qdata=strip(leaf.qdata),
+                               scale=strip(leaf.scale),
+                               zero_point=strip(leaf.zero_point),
+                               svd_up=strip(leaf.svd_up),
+                               svd_down=strip(leaf.svd_down),
+                               meta=leaf.meta)
+                sh = qtensor_shardings(virt, mesh, mode, axis)
+                sh = QTensor(
+                    qdata=_shift_spec(sh.qdata, mesh),
+                    scale=_shift_spec(sh.scale, mesh),
+                    zero_point=None if sh.zero_point is None
+                    else _shift_spec(sh.zero_point, mesh),
+                    svd_up=None if sh.svd_up is None
+                    else _shift_spec(sh.svd_up, mesh),
+                    svd_down=None if sh.svd_down is None
+                    else _shift_spec(sh.svd_down, mesh),
+                    meta=sh.meta)
+            else:
+                sh = qtensor_shardings(leaf, mesh, mode, axis)
             out.append(jax.device_put(leaf, sh))
         elif hasattr(leaf, "ndim"):
             if path.endswith("bias") and mode == "row":
                 mode_eff = None  # row-parallel bias is replicated
             else:
                 mode_eff = mode
-            out.append(jax.device_put(
-                leaf, _array_sharding(path, leaf, mesh, mode_eff, axis)))
+            if stacked:
+                # size the spec against the per-layer shape, then shift
+                virt = jax.ShapeDtypeStruct(leaf.shape[1:], leaf.dtype)
+                sh = _shift_spec(
+                    _array_sharding(path, virt, mesh, mode_eff, axis), mesh)
+            else:
+                sh = _array_sharding(path, leaf, mesh, mode_eff, axis)
+            out.append(jax.device_put(leaf, sh))
         else:
             out.append(leaf)
     return jax.tree_util.tree_unflatten(treedef, out)

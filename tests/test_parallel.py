@@ -64,3 +64,33 @@ def test_dit_tp_dp_sharded_forward_matches():
         out = fwd(sharded, img_s, txt_s)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=5e-3, rtol=1e-3)
+
+
+def test_stacked_blocks_tp_sharded_forward():
+    from sdnq_tpu.models import stack_dit_blocks
+    cfg = FLUX_TINY_CONFIG
+    mesh = create_mesh(data=2, tensor=4)
+    params = init_dit(jax.random.key(0), cfg)
+    qparams, _ = quantize_model(
+        params, QuantConfig(weights_dtype="int8", dequant_dtype="float32"),
+        arch="FluxTransformer2DModel")
+
+    rng = np.random.default_rng(0)
+    b, n_img, txt_len = 4, 64, 16
+    img = jnp.asarray(rng.normal(size=(b, n_img, cfg.in_channels))
+                      .astype(np.float32))
+    txt = jnp.asarray(rng.normal(size=(b, txt_len, cfg.txt_dim))
+                      .astype(np.float32))
+    t = jnp.asarray(rng.uniform(0, 1, (b,)).astype(np.float32))
+    pooled = jnp.asarray(rng.normal(size=(b, cfg.vec_dim)).astype(np.float32))
+    freqs = make_rope_freqs(cfg, txt_len, (8, 8))
+
+    ref = dit_forward(qparams, img, txt, t, pooled, cfg, guidance=t,
+                      freqs=freqs)
+    stacked = stack_dit_blocks(qparams)
+    sharded = shard_params(stacked, mesh, DIT_TP_RULES)
+    with jax.set_mesh(mesh):
+        out = jax.jit(lambda p, i: dit_forward(
+            p, i, txt, t, pooled, cfg, guidance=t, freqs=freqs))(sharded, img)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-3, rtol=1e-3)

@@ -52,3 +52,23 @@ def test_ring_attention_causal():
                          out_dtype=jnp.float32)
     ref = _ref(q, k, v, causal=True)
     assert np.abs(np.asarray(out) - ref).max() < 0.05
+
+
+def test_ulysses_matches_reference():
+    from sdnq_tpu.parallel import ulysses_attention
+    mesh = create_mesh(sequence=4)
+    q, k, v = _qkv(seed=3)
+    out = ulysses_attention(q, k, v, mesh, matmul_dtype=None,
+                            out_dtype=jnp.float32)
+    ref = _ref(q, k, v)
+    assert np.abs(np.asarray(out) - ref).max() < 5e-3
+
+
+def test_ulysses_int8_causal():
+    from sdnq_tpu.parallel import ulysses_attention
+    mesh = create_mesh(sequence=4)
+    q, k, v = _qkv(seed=4)
+    out = ulysses_attention(q, k, v, mesh, matmul_dtype="int8",
+                            is_causal=True, out_dtype=jnp.float32)
+    ref = _ref(q, k, v, causal=True)
+    assert np.abs(np.asarray(out) - ref).max() < 0.05
