@@ -249,6 +249,8 @@ def dit_forward(params: Params, img: jax.Array, txt: jax.Array,
                              timestep_embedding(guidance * 1000.0, 256))
     vec = vec + _vec_mlp(params["vector_in"], pooled)
 
+    vec = vec.astype(img.dtype)  # keep block dtype stable (scan carry)
+
     if freqs is None:
         n_img = img.shape[1]
         side = int(round(n_img ** 0.5))

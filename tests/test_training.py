@@ -175,3 +175,33 @@ def test_jitted_full_train_step():
         loss, tp, state = step(tp, state, k2)
         losses.append(float(loss))
     assert losses[-1] < losses[0], losses
+
+
+def test_fit_loop_resume_and_nan_guard(tmp_path):
+    from sdnq_tpu.train import fit
+    qt = quantize_tensor(_w((64, 256), scale=0.5), "int8", group_size=64)
+    params = {"w": TrainQTensor(qt=qt,
+                                delta=jnp.zeros((64, 256), jnp.float32))}
+    opt = adamw(lr=1e-2)
+    state0 = {"p": params, "o": opt.init(params)}
+    target = _w((64, 256), seed=3, scale=0.5)
+
+    calls = {"n": 0}
+
+    def step_fn(state, key):
+        calls["n"] += 1
+        def loss_fn(p):
+            wd = dequantize(p["w"].qt, jnp.float32) + p["w"].delta
+            return jnp.mean((wd - target) ** 2)
+        loss, grads = vag(loss_fn)(state["p"])
+        if calls["n"] == 3:  # inject one bad step
+            loss = jnp.asarray(jnp.nan)
+        p, o = opt.update(grads, state["o"], state["p"], rng=key)
+        return loss, {"p": p, "o": o}
+
+    ck = str(tmp_path / "ck")
+    state = fit(step_fn, state0, 6, ckpt_dir=ck, save_every=2)
+    # resume: run 4 more steps from the step-6 checkpoint
+    state = fit(step_fn, state0, 10, ckpt_dir=ck, save_every=2)
+    from sdnq_tpu.train import latest_checkpoint_step
+    assert latest_checkpoint_step(ck) == 10
