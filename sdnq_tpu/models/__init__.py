@@ -10,6 +10,10 @@ from .vae import (
     VAEConfig, SD_VAE_CONFIG, VAE_TINY_CONFIG, init_vae, vae_decode,
     vae_encode,
 )
+from .llm import (
+    LLMConfig, LLM_TINY_CONFIG, init_llm, llm_forward, generate,
+    stack_llm_blocks,
+)
 from .text_encoder import (
     CLIPConfig, T5Config, CLIP_TINY_CONFIG, T5_TINY_CONFIG,
     init_clip, clip_encode, init_t5, t5_encode,
@@ -25,4 +29,6 @@ __all__ = [
     "vae_decode", "vae_encode",
     "CLIPConfig", "T5Config", "CLIP_TINY_CONFIG", "T5_TINY_CONFIG",
     "init_clip", "clip_encode", "init_t5", "t5_encode",
+    "LLMConfig", "LLM_TINY_CONFIG", "init_llm", "llm_forward", "generate",
+    "stack_llm_blocks",
 ]
