@@ -23,7 +23,6 @@ import dataclasses
 from functools import lru_cache
 
 import jax.numpy as jnp
-import numpy as np
 
 __all__ = [
     "Format",
@@ -244,12 +243,3 @@ def default_matmul_format(weights_fmt: str) -> str:
     return "float16"
 
 
-def np_finfo_like(fmt: Format):  # pragma: no cover - debugging helper
-    return {
-        "min": fmt.min, "max": fmt.max, "bias": fmt.bias,
-        "min_normal": 2.0 ** (1 - fmt.bias) if fmt.exponent else None,
-        "min_subnormal": 2.0 ** (1 - fmt.bias - fmt.mantissa) if fmt.exponent else None,
-    }
-
-
-assert np is not None  # keep numpy import for codec users

@@ -14,8 +14,7 @@ from __future__ import annotations
 
 import json
 import os
-import re
-from typing import Any, Callable, Iterator
+from typing import Callable, Iterator
 
 import jax
 import jax.numpy as jnp

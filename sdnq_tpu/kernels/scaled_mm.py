@@ -31,10 +31,6 @@ from .dispatch import use_pallas, pallas_interpret
 __all__ = ["scaled_mm", "int8_mm", "fp8_mm", "bf16_scaled_mm"]
 
 
-def _epilogue_dtype(out_dtype):
-    return jnp.dtype(out_dtype)
-
-
 # ---------------------------------------------------------------------------
 # XLA fallback
 # ---------------------------------------------------------------------------

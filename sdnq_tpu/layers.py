@@ -24,12 +24,11 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .formats import get_format
 from .kernels.dequant_mm import dequant_matmul
 from .kernels.scaled_mm import scaled_mm, bf16_scaled_mm
 from .quant.core import quantize_int_mm, quantize_uint_mm, quantize_fp_mm
 from .quant.hadamard import rotate_hadamard
-from .tensor import QTensor, dequantize, CONV, CONV_TRANSPOSE
+from .tensor import QTensor, dequantize
 
 __all__ = ["qlinear", "qconv", "qembedding"]
 

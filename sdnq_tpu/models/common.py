@@ -11,8 +11,6 @@ so HF checkpoints map 1:1 and the reference's skip-key policy
 from __future__ import annotations
 
 import math
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 

@@ -16,7 +16,6 @@ diffusers' FluxTransformer2DModel so policy.MODEL_SKIP_KEYS
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp

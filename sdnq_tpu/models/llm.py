@@ -10,7 +10,6 @@ loop.  Param names follow transformers' LlamaForCausalLM.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp

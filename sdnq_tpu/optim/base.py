@@ -21,8 +21,7 @@ from typing import Any, Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..tensor import QTensor, quantize_tensor, dequantize
-from ..quant.core import quantize_weight, dequantize_values
+from ..tensor import QTensor, dequantize
 
 __all__ = ["QOptimizer", "OptConfig", "quantize_buffer",
            "dequantize_buffer", "update_buffer_lerp", "apply_norm_to_update",

@@ -16,8 +16,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .base import OptConfig, quantize_buffer, update_buffer_lerp, \
-    dequantize_buffer, scrub_grad
+from .base import OptConfig, quantize_buffer, update_buffer_lerp
 from .optimizers import make_optimizer
 
 __all__ = ["muon", "zeropower_via_newtonschulz5"]

@@ -14,15 +14,14 @@ optim/adafactor.py:12-110).
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Any, Callable
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
 
 from ..tensor import QTensor, dequantize, quantize_tensor
 from .base import (
-    BufferQ, OptConfig, QOptimizer, apply_norm_to_update, cautious_mask,
+    OptConfig, QOptimizer, apply_norm_to_update, cautious_mask,
     dequantize_buffer, param_value, quantize_buffer, scrub_grad,
     update_buffer_lerp,
 )

@@ -38,7 +38,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .formats import Format, get_format
+from .formats import Format
 
 __all__ = [
     "pad_to_multiple",

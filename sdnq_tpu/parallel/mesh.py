@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 import jax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P  # noqa: F401 (re-exported)
 
 __all__ = ["create_mesh", "Mesh", "NamedSharding", "P"]
 

@@ -21,8 +21,6 @@ Sharding modes per parameter:
 
 from __future__ import annotations
 
-from typing import Any
-
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 

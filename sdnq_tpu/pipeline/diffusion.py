@@ -7,9 +7,7 @@ the whole sampler is a single XLA program per (shape, steps) pair.
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
-from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -32,7 +32,6 @@ import jax.numpy as jnp
 
 from ..kernels.scaled_mm import scaled_mm
 from ..quant.core import quantize_int_mm
-from ..quant.hadamard import rotate_hadamard
 from ..tensor import QTensor, dequantize
 from ..layers import _quantized_matmul_2d, _weight_only_linear_2d
 

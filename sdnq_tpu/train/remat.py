@@ -18,8 +18,6 @@ elementwise chains recompute.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 
 __all__ = ["checkpoint_block", "dots_saveable_policy"]
