@@ -52,8 +52,9 @@ def _scaled_mm_xla(x_q, w_q, x_scale, w_scale, bias, out_dtype, acc_dtype):
 # Pallas TPU kernel
 # ---------------------------------------------------------------------------
 
-def _mm_kernel(x_ref, w_ref, xs_ref, ws_ref, bias_ref, out_ref, acc_ref,
-               *, acc_dtype, n_k, has_xs, has_ws, has_bias):
+def _mm_kernel(x_ref, w_ref, xs_ref, ws_ref, bias_ref, u_ref, v_ref,
+               out_ref, acc_ref, *, acc_dtype, n_k, has_xs, has_ws,
+               has_bias, has_uv):
     k = pl.program_id(2)
 
     @pl.when(k == 0)
@@ -73,6 +74,18 @@ def _mm_kernel(x_ref, w_ref, xs_ref, ws_ref, bias_ref, out_ref, acc_ref,
             out = out * ws_ref[:].astype(jnp.float32)          # (1, BN)
         if has_bias:
             out = out + bias_ref[:].astype(jnp.float32)        # (1, BN)
+        if has_uv:
+            # fused low-rank epilogue: zero-point folds are rank-2 and the
+            # SVD correction rank-r terms of u (BM, R) @ v (R, BN).
+            # HIGHEST precision: u carries rowsum-scale products of ~1e3
+            # magnitude with heavy cancellation against the main acc, and
+            # the TPU's default bf16 multiplies lose ~8% there.
+            out = out + jax.lax.dot_general(
+                u_ref[:].astype(jnp.float32),
+                v_ref[:].astype(jnp.float32),
+                (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
         out_ref[:] = out.astype(out_ref.dtype)
 
 
@@ -103,7 +116,7 @@ def _pick_k_block(kdim: int, preferred: int) -> int:
     jax.jit,
     static_argnames=("out_dtype", "acc_dtype", "bm", "bn", "bk"),
 )
-def _scaled_mm_pallas(x_q, w_q, x_scale, w_scale, bias,
+def _scaled_mm_pallas(x_q, w_q, x_scale, w_scale, bias, u=None, v=None,
                       out_dtype=jnp.bfloat16, acc_dtype=jnp.int32,
                       bm=0, bn=0, bk=0):
     m, kdim = x_q.shape
@@ -137,14 +150,18 @@ def _scaled_mm_pallas(x_q, w_q, x_scale, w_scale, bias,
 
     has_xs, has_ws, has_bias = (x_scale is not None, w_scale is not None,
                                 bias is not None)
+    has_uv = u is not None
     xs = x_scale if has_xs else jnp.zeros((m, 1), jnp.float32)
     ws = (w_scale.reshape(1, -1) if has_ws
           else jnp.zeros((1, o), jnp.float32))
     b = bias.reshape(1, -1) if has_bias else jnp.zeros((1, o), jnp.float32)
+    r = u.shape[-1] if has_uv else 8
+    u_in = u if has_uv else jnp.zeros((m, r), jnp.float32)
+    v_in = v if has_uv else jnp.zeros((r, o), jnp.float32)
 
     kernel = functools.partial(
         _mm_kernel, acc_dtype=acc_dtype, n_k=n_k,
-        has_xs=has_xs, has_ws=has_ws, has_bias=has_bias)
+        has_xs=has_xs, has_ws=has_ws, has_bias=has_bias, has_uv=has_uv)
 
     flops = 2 * m * o * kdim
     bytes_accessed = (m * kdim * x_q.dtype.itemsize
@@ -164,6 +181,10 @@ def _scaled_mm_pallas(x_q, w_q, x_scale, w_scale, bias,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bn_), lambda i, j, k: (0, j),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm_, r), lambda i, j, k: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, bn_), lambda i, j, k: (0, j),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bm_, bn_), lambda i, j, k: (i, j),
                                memory_space=pltpu.VMEM),
@@ -175,7 +196,7 @@ def _scaled_mm_pallas(x_q, w_q, x_scale, w_scale, bias,
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0),
         interpret=pallas_interpret(),
-    )(x_q, w_q, xs, ws, b)
+    )(x_q, w_q, xs, ws, b, u_in, v_in)
 
 
 # ---------------------------------------------------------------------------
@@ -186,11 +207,16 @@ def scaled_mm(x_q: jax.Array, w_q: jax.Array,
               x_scale: jax.Array | None = None,
               w_scale: jax.Array | None = None,
               bias: jax.Array | None = None,
-              out_dtype=jnp.bfloat16) -> jax.Array:
-    """Fused ``(x_q @ w_q.T) * x_scale * w_scale + bias``.
+              out_dtype=jnp.bfloat16,
+              lowrank_u: jax.Array | None = None,
+              lowrank_v: jax.Array | None = None) -> jax.Array:
+    """Fused ``(x_q @ w_q.T) * x_scale * w_scale + bias [+ u @ v]``.
 
     x_q (M, K); w_q (O, K); x_scale (M, 1) or None; w_scale (O,)/(O,1)/(1,O)
-    or None; bias (O,) or (M, O) broadcastable or None.
+    or None; bias (O,) or (M, O) broadcastable or None.  lowrank_u (M, R) /
+    lowrank_v (R, O) fuse rank-R epilogue terms — the uint8 zero-point
+    algebra (R=2) and the SVDQuant correction (R=svd_rank) — into the same
+    kernel instead of materializing an (M, O) bias.
     """
     if x_q.dtype == jnp.int8:
         acc_dtype = jnp.int32
@@ -200,12 +226,17 @@ def scaled_mm(x_q: jax.Array, w_q: jax.Array,
         w_scale = w_scale.reshape(-1)
     if use_pallas() and (bias is None or bias.ndim <= 1):
         return _scaled_mm_pallas(
-            x_q, w_q, x_scale, w_scale, bias,
+            x_q, w_q, x_scale, w_scale, bias, lowrank_u, lowrank_v,
             out_dtype=jnp.dtype(out_dtype), acc_dtype=acc_dtype)
     if w_scale is not None:
         w_scale = w_scale.reshape(1, -1)
-    return _scaled_mm_xla(x_q, w_q, x_scale, w_scale, bias, out_dtype,
-                          acc_dtype)
+    out = _scaled_mm_xla(x_q, w_q, x_scale, w_scale, bias, out_dtype,
+                         acc_dtype)
+    if lowrank_u is not None:
+        out = (out.astype(jnp.float32)
+               + lowrank_u.astype(jnp.float32)
+               @ lowrank_v.astype(jnp.float32)).astype(out_dtype)
+    return out
 
 
 def int8_mm(x_q, w_q, out_dtype=jnp.int32):
@@ -222,8 +253,9 @@ def fp8_mm(x_q, w_q, out_dtype=jnp.float32):
 
 
 def bf16_scaled_mm(x, w, x_scale=None, w_scale=None, bias=None,
-                   out_dtype=jnp.bfloat16):
+                   out_dtype=jnp.bfloat16, lowrank_u=None, lowrank_v=None):
     """16-bit scaled GEMM: bf16 multiplies, fp32 accumulate.  Replaces the
     reference's fp16 path (no overflow guard needed on TPU)."""
     return scaled_mm(x.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
-                     x_scale, w_scale, bias, out_dtype=out_dtype)
+                     x_scale, w_scale, bias, out_dtype=out_dtype,
+                     lowrank_u=lowrank_u, lowrank_v=lowrank_v)

@@ -102,14 +102,25 @@ def _requantize_rowwise(qt: QTensor):
 
 
 def _quantized_matmul_2d(x2d, qt: QTensor, bias, out_dtype):
-    """Core quantized GEMM on (M, C) input with all folds applied."""
+    """Core quantized GEMM on (M, C) input with all folds applied.
+
+    The SVD correction and the uint8 zero-point algebra become rank-R
+    epilogue terms of the fused kernel (scaled_mm lowrank_u/v) — one kernel
+    launch, no (M, O) bias materialization."""
     meta = qt.meta
     mfmt = meta.matmul_format
 
     if meta.use_hadamard:
         x2d = rotate_hadamard(x2d, meta.hadamard_group_size,
                               precision=jax.lax.Precision.DEFAULT)
-    bias_eff = _svd_bias(x2d, qt, bias, out_dtype)
+
+    # SVD as a low-rank epilogue: y += (x @ down.T) @ up.T
+    # (reference folds it into the bias operand: linear_int8.py:54-59)
+    u_cols, v_cols = [], []
+    if qt.svd_up is not None:
+        u_cols.append((x2d.astype(jnp.float32)
+                       @ qt.svd_down.T.astype(jnp.float32)))
+        v_cols.append(qt.svd_up.T.astype(jnp.float32))
 
     if meta.re_quantize_for_matmul:
         w_q, w_scale, w_zp = _requantize_rowwise(qt)
@@ -123,37 +134,51 @@ def _quantized_matmul_2d(x2d, qt: QTensor, bias, out_dtype):
             w_scale = qt.scale.reshape(qt.scale.shape[0], -1)
             w_zp = None
 
+    def finish_uv(m):
+        if not u_cols:
+            return None, None
+        u = jnp.concatenate([c.reshape(m, -1) for c in u_cols], axis=-1)
+        v = jnp.concatenate([c.reshape(-1, w_q.shape[0]) for c in v_cols],
+                            axis=0)
+        return u, v
+
     kdim = x2d.shape[-1]
+    m = x2d.shape[0]
     if mfmt.is_integer:
         if w_zp is not None or mfmt.is_unsigned:
-            # asymmetric × asymmetric zero-point algebra
-            # (reference linear_uint8.py:62-68)
+            # asymmetric x asymmetric zero-point algebra as TWO rank-1
+            # epilogue terms (reference computes a dense (M, O) zero_bias:
+            # linear_uint8.py:62-68):
+            #   y += [rowsum(x_q)*x_s] (x) w_zp
+            #      + x_zp (x) [colsum(w_q)*w_s + K*w_zp]
             x_q, x_scale, x_zp = quantize_uint_mm(x2d, axis=-1)
-            zero_bias = jnp.zeros((1, w_q.shape[0]), jnp.float32)
             w_colsum = jnp.sum(w_q.astype(jnp.int32), axis=-1)[None, :] \
                 .astype(jnp.float32)
-            if w_zp is not None:
-                x_rowsum = jnp.sum(x_q.astype(jnp.int32), axis=-1,
-                                   keepdims=True).astype(jnp.float32)
-                zero_bias = (x_rowsum * x_scale) * w_zp.reshape(1, -1)
-                zero_bias = zero_bias + (w_colsum * w_scale.reshape(1, -1)) * x_zp
-                zero_bias = zero_bias + (x_zp * w_zp.reshape(1, -1)) * float(kdim)
-            else:
-                zero_bias = (w_colsum * w_scale.reshape(1, -1)) * x_zp
-            if bias_eff is not None:
-                zero_bias = zero_bias + bias_eff.astype(jnp.float32)
-            return scaled_mm(x_q, w_q, x_scale, w_scale, zero_bias,
-                             out_dtype=out_dtype)
+            wz = (jnp.zeros((1, w_q.shape[0]), jnp.float32)
+                  if w_zp is None else w_zp.reshape(1, -1))
+            x_rowsum = jnp.sum(x_q.astype(jnp.int32), axis=-1,
+                               keepdims=True).astype(jnp.float32)
+            u_cols.append(x_rowsum * x_scale)
+            v_cols.append(wz)
+            u_cols.append(x_zp.astype(jnp.float32))
+            v_cols.append(w_colsum * w_scale.reshape(1, -1)
+                          + float(kdim) * wz)
+            u, v = finish_uv(m)
+            return scaled_mm(x_q, w_q, x_scale, w_scale, bias,
+                             out_dtype=out_dtype, lowrank_u=u, lowrank_v=v)
         x_q, x_scale = quantize_int_mm(x2d, axis=-1)
-        return scaled_mm(x_q, w_q, x_scale, w_scale, bias_eff,
-                         out_dtype=out_dtype)
+        u, v = finish_uv(m)
+        return scaled_mm(x_q, w_q, x_scale, w_scale, bias,
+                         out_dtype=out_dtype, lowrank_u=u, lowrank_v=v)
     if mfmt.num_bits == 8:
         x_q, x_scale = quantize_fp_mm(x2d, axis=-1, fmt=mfmt)
+        u, v = finish_uv(m)
         return scaled_mm(x_q, w_q.astype(jnp.float8_e4m3fn), x_scale, w_scale,
-                         bias_eff, out_dtype=out_dtype)
+                         bias, out_dtype=out_dtype, lowrank_u=u, lowrank_v=v)
     # 16-bit path: bf16 multiplies, fp32 accumulate; input unquantized
-    return bf16_scaled_mm(x2d, w_q, None, w_scale, bias_eff,
-                          out_dtype=out_dtype)
+    u, v = finish_uv(m)
+    return bf16_scaled_mm(x2d, w_q, None, w_scale, bias,
+                          out_dtype=out_dtype, lowrank_u=u, lowrank_v=v)
 
 
 def _weight_only_linear_2d(x2d, qt: QTensor, bias, out_dtype):
