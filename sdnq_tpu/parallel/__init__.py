@@ -4,9 +4,11 @@ from .sharding import (
 )
 from .ring_attention import ring_attention
 from .ulysses import ulysses_attention
+from .pipeline import pipeline_forward, shard_stage_params
 
 __all__ = [
     "create_mesh", "Mesh", "NamedSharding", "P",
     "qtensor_shardings", "shard_params", "DIT_TP_RULES",
     "logical_axis_rules", "ring_attention", "ulysses_attention",
+    "pipeline_forward", "shard_stage_params",
 ]
