@@ -94,7 +94,8 @@ def pipeline_forward(block_fn, stacked_params, x_micro, mesh: Mesh, *,
             return (buf, outputs), None
 
         (buf, outputs), _ = jax.lax.scan(
-            tick, (jax.lax.pvary(buf, axis), jax.lax.pvary(outputs, axis)),
+            tick, (jax.lax.pcast(buf, axis, to='varying'),
+             jax.lax.pcast(outputs, axis, to='varying')),
             jnp.arange(ticks))
         # only the last stage holds real outputs; broadcast them
         outputs = jax.lax.psum(

@@ -93,10 +93,12 @@ def ring_attention(query, key, value, mesh: Mesh, *, axis: str = "sequence",
         nq = q.shape[2]
         # pvary marks the carry as device-varying over the ring axis so the
         # scan carry types match (new shard_map tracks varying manual axes)
-        m = jax.lax.pvary(jnp.full((b, h, nq, 1), _NEG_INF, jnp.float32),
-                          axis)
-        l = jax.lax.pvary(jnp.zeros((b, h, nq, 1), jnp.float32), axis)
-        acc = jax.lax.pvary(jnp.zeros((b, h, nq, d), jnp.float32), axis)
+        m = jax.lax.pcast(jnp.full((b, h, nq, 1), _NEG_INF, jnp.float32),
+                          axis, to="varying")
+        l = jax.lax.pcast(jnp.zeros((b, h, nq, 1), jnp.float32), axis,
+                          to="varying")
+        acc = jax.lax.pcast(jnp.zeros((b, h, nq, d), jnp.float32), axis,
+                            to="varying")
         perm = [(i, (i + 1) % p_size) for i in range(p_size)]
 
         def step(carry, i):
