@@ -226,6 +226,9 @@ def qlinear(x: jax.Array, w, bias: jax.Array | None = None,
     if type(w).__name__ == "TrainQTensor":  # avoid circular import
         from .train.matmul import train_qlinear
         return train_qlinear(x, w, bias)
+    if type(w).__name__ == "DynamicTensor":
+        from .train.matmul import dynamic_qlinear
+        return dynamic_qlinear(x, w, bias)
     if not isinstance(w, QTensor):
         out_dtype = out_dtype or x.dtype
         out = jnp.einsum("...c,oc->...o", x, w.astype(x.dtype),

@@ -1,6 +1,7 @@
 from .matmul import (
     TrainQTensor, make_train_params, train_qlinear, extract_weight_grads,
-    apply_weight_updates, value_and_grad, grad,
+    apply_weight_updates, value_and_grad, grad, DynamicTensor,
+    dynamic_qlinear,
 )
 from .convert import convert_model_to_training, \
     convert_training_model_to_inference
@@ -10,7 +11,7 @@ from .remat import checkpoint_block, dots_saveable_policy
 __all__ = [
     "TrainQTensor", "make_train_params", "train_qlinear",
     "extract_weight_grads", "apply_weight_updates", "value_and_grad",
-    "grad",
+    "grad", "DynamicTensor", "dynamic_qlinear",
     "convert_model_to_training", "convert_training_model_to_inference",
     "fit", "latest_checkpoint_step", "checkpoint_block",
     "dots_saveable_policy",

@@ -37,7 +37,7 @@ from ..layers import _quantized_matmul_2d, _weight_only_linear_2d
 
 __all__ = ["TrainQTensor", "make_train_params", "train_qlinear",
            "extract_weight_grads", "apply_weight_updates",
-           "value_and_grad", "grad"]
+           "value_and_grad", "grad", "DynamicTensor", "dynamic_qlinear"]
 
 
 def value_and_grad(fn, argnums=0, **kwargs):
@@ -219,4 +219,56 @@ def train_qlinear(x: jax.Array, w: TrainQTensor, bias=None, *,
     y = _train_linear(x2d, w.delta, w.qt, bias,
                       save_quantized_activations,
                       w.qt.meta.use_quantized_matmul)
+    return y.reshape(*lead, y.shape[-1])
+
+
+# ---------------------------------------------------------------------------
+# Dynamic-only training matmul (use_static_quantization=False):
+# weights stay full precision; both operands quantize per call
+# (reference linear_int8_dynamic.py:82-150 + use_static_quantization docs,
+# quantizer.py:864-867).  round() has zero gradient, so a straight-through
+# custom_vjp supplies the dense grads via dynamic-int8 GEMMs.
+# ---------------------------------------------------------------------------
+
+@partial(jax.tree_util.register_dataclass, data_fields=["w"], meta_fields=[])
+@dataclasses.dataclass
+class DynamicTensor:
+    """Full-precision weight that runs its matmuls dynamically quantized
+    (the use_static_quantization=False training mode)."""
+    w: jax.Array
+
+    @property
+    def shape(self):
+        return self.w.shape
+
+
+@jax.custom_vjp
+def dynamic_qlinear_2d(x2d, w, bias):
+    y = _dynamic_int8_mm(x2d.astype(jnp.float32), w.astype(jnp.float32),
+                         out_dtype=jnp.float32)
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(jnp.bfloat16)
+
+
+def _dyn_fwd(x2d, w, bias):
+    return dynamic_qlinear_2d(x2d, w, bias), (x2d, w, bias is not None)
+
+
+def _dyn_bwd(res, g):
+    x2d, w, has_bias = res
+    g2d = g.astype(jnp.float32)
+    gx = _dynamic_int8_mm(g2d, w.astype(jnp.float32).T)
+    gw = _dynamic_int8_mm(g2d.T, x2d.astype(jnp.float32).T)
+    gb = jnp.sum(g2d, axis=0) if has_bias else None
+    return gx.astype(x2d.dtype), gw.astype(w.dtype), gb
+
+
+dynamic_qlinear_2d.defvjp(_dyn_fwd, _dyn_bwd)
+
+
+def dynamic_qlinear(x, w, bias=None):
+    lead = x.shape[:-1]
+    y = dynamic_qlinear_2d(x.reshape(-1, x.shape[-1]),
+                           w.w if isinstance(w, DynamicTensor) else w, bias)
     return y.reshape(*lead, y.shape[-1])

@@ -205,3 +205,25 @@ def test_fit_loop_resume_and_nan_guard(tmp_path):
     state = fit(step_fn, state0, 10, ckpt_dir=ck, save_every=2)
     from sdnq_tpu.train import latest_checkpoint_step
     assert latest_checkpoint_step(ck) == 10
+
+
+def test_dynamic_only_training_mode():
+    """use_static_quantization=False: fp weights, dynamically quantized
+    matmuls, STE grads."""
+    from sdnq_tpu.train import DynamicTensor
+    from sdnq_tpu import qlinear
+    w = DynamicTensor(w=_w((128, 256)))
+    x = _w((64, 256), seed=1, scale=0.3)
+
+    def loss(x, w):
+        return jnp.sum(qlinear(x, w) ** 2)
+
+    y = qlinear(x, w)
+    ref = x @ w.w.T
+    assert float(jnp.abs(y - ref).max() / jnp.abs(ref).max()) < 0.05
+    gx, gw = jax.grad(loss, argnums=(0, 1))(x, w)
+    # STE reference: dL/dW = 2 yᵀ x
+    gref_w = 2 * qlinear(x, w).astype(jnp.float32).T @ x
+    rel = float(jnp.abs(gw.w - gref_w).max() / jnp.abs(gref_w).max())
+    assert rel < 0.05, rel
+    assert gx.shape == x.shape
