@@ -38,6 +38,24 @@ _TILE_BUDGET = 4 * 1024 * 1024
 _MAX_K = 32768
 
 
+def _broadcast_groups(ref, gi, sg, g, bn, bk):
+    """Expand sg per-group scalars to bk lanes.  jnp.repeat's internal
+    (sg, g) -> sg*g reshape only lowers when g is lane-aligned (>= 128);
+    smaller groups use a select-accumulate over group ids instead."""
+    if sg == 1:
+        return ref[:, gi:gi + 1].astype(jnp.float32)
+    if g % 128 == 0:
+        return jnp.repeat(ref[:, gi:gi + sg].astype(jnp.float32), g,
+                          axis=-1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (bn, bk), 1) // g
+    out = jnp.zeros((bn, bk), jnp.float32)
+    for j in range(sg):
+        out = out + jnp.where(col == j,
+                              ref[:, gi + j:gi + j + 1].astype(jnp.float32),
+                              0.0)
+    return out
+
+
 def _dequant_mm_kernel(x_ref, wq_ref, scale_ref, zp_ref, bias_ref, out_ref,
                        wdeq_ref, *, packed: bool, code_bits: int,
                        code_min: int, is_float_fmt: bool, fmt_name: str,
@@ -70,21 +88,11 @@ def _dequant_mm_kernel(x_ref, wq_ref, scale_ref, zp_ref, bias_ref, out_ref,
             else:
                 vals = wq_ref[:, k0:k0 + bk].astype(jnp.float32)
 
-            if g >= bk:
-                gi = k0 // g
-                scale = scale_ref[:, gi:gi + 1].astype(jnp.float32)
-                w = vals * scale
-                if has_zp:
-                    w = w + zp_ref[:, gi:gi + 1].astype(jnp.float32)
-            else:
-                sg = bk // g
-                gi = k0 // g
-                scale = scale_ref[:, gi:gi + sg].astype(jnp.float32)
-                w = vals * jnp.repeat(scale, g, axis=-1)
-                if has_zp:
-                    w = w + jnp.repeat(
-                        zp_ref[:, gi:gi + sg].astype(jnp.float32), g,
-                        axis=-1)
+            gi = k0 // g
+            sg = max(1, bk // g)
+            w = vals * _broadcast_groups(scale_ref, gi, sg, g, bn, bk)
+            if has_zp:
+                w = w + _broadcast_groups(zp_ref, gi, sg, g, bn, bk)
             wdeq_ref[:, k0:k0 + bk] = w.astype(wdeq_ref.dtype)
 
     acc = None
