@@ -147,10 +147,17 @@ def _dequant_mm_pallas(x, wq, scale, zp, bias, *, fmt_name, code_bits,
     assert bk_ > 0, "caller must pre-check tiling feasibility"
 
     # Full-K rows are resident: bound block sizes by the VMEM budget.
-    # The dequantized-weight scratch (BN, K) in x dtype is the big consumer.
+    # Besides the packed bytes and the dequantized-weight scratch (BN, K),
+    # the unpack/dequant body keeps (BN, BK)-wide temporaries alive: int32
+    # codes, f32 values, the broadcast scale (and zero-point / float-decode
+    # intermediates) — all must fit the 16MB scoped VMEM.
+    has_zp_est = zp is not None
     x_row = kdim * x.dtype.itemsize
+    temp_row = (kdim // 8) * (12 + (8 if has_zp_est else 0)
+                              + (8 if is_float_fmt else 0)) if packed \
+        else kdim * 8
     w_row = ((code_bits * kdim // 8) if packed else kdim) \
-        + kdim * x.dtype.itemsize
+        + kdim * x.dtype.itemsize + temp_row
     bm_ = _pick_block(m, bm, 8)
     while bm_ > 8 and bm_ * x_row > _TILE_BUDGET // 2:
         bm_ //= 2
@@ -228,10 +235,16 @@ def dequant_matmul(x: jax.Array, wq: jax.Array, scale: jax.Array,
     g = group_size if group_size > 0 else kdim
     if packed:
         # segment tiling: segments of K/8 values must align with groups and
-        # with the 128-lane layout
+        # with the 128-lane layout.  Mosaic keeps the unrolled segment
+        # loop's temporaries live simultaneously, so the float-decode path
+        # (many f32 intermediates) and very fine groups (long
+        # select-broadcast chains) blow the 16MB scoped VMEM — those route
+        # to the XLA path until the unpack loop is made sequential.
         segw = kdim // 8
+        sg = max(1, segw // g)
         pallas_ok = (kdim % 1024 == 0 and kdim <= _MAX_K
-                     and (g % segw == 0 or segw % g == 0))
+                     and (g % segw == 0 or segw % g == 0)
+                     and fmt.is_integer and sg <= 16)
     else:
         pallas_ok = kdim % 8 == 0 and _choose_k_tile(kdim, g) > 0
     if use_pallas() and pallas_ok:
