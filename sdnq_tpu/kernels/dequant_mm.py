@@ -153,9 +153,10 @@ def _dequant_mm_pallas(x, wq, scale, zp, bias, *, fmt_name, code_bits,
     # intermediates) — all must fit the 16MB scoped VMEM.
     has_zp_est = zp is not None
     x_row = kdim * x.dtype.itemsize
+    # non-packed tiles are (BN, bk<=512) slices — their temporaries never
+    # pressured VMEM in practice; only the packed full-segment unpack does
     temp_row = (kdim // 8) * (12 + (8 if has_zp_est else 0)
-                              + (8 if is_float_fmt else 0)) if packed \
-        else kdim * 8
+                              + (8 if is_float_fmt else 0)) if packed else 0
     w_row = ((code_bits * kdim // 8) if packed else kdim) \
         + kdim * x.dtype.itemsize + temp_row
     bm_ = _pick_block(m, bm, 8)
