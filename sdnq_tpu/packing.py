@@ -27,9 +27,13 @@ all widths 1..16.  Signed integers are stored offset-binary (``x - min``)
 like the reference (packed_int/__init__.py).
 
 Float codes use the generic finite-minifloat codec below (sign | exponent |
-mantissa fields, RTNE on encode, subnormals flush to scaled-linear), the
-same numerics as the reference's fp32-bit-twiddling codec
-(packed_float.py:25-129) re-derived for JAX.
+mantissa fields, RTNE on encode, subnormals flush to scaled-linear).  The
+representable grid is bit-identical to the reference's codec
+(packed_float.py:25-129, cross-checked in tests/test_reference_parity.py);
+rounding of off-grid values is a deliberate improvement — the reference
+inspects only the top 4 truncated mantissa bits with a round-half-down
+rule (packed_float.py:40-47), we do true round-to-nearest-even, which is
+never farther from the input.
 """
 
 from __future__ import annotations
