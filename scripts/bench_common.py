@@ -12,15 +12,30 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
 
 
+def _sync(out):
+    """Force completion via a one-element host readback.
+
+    Through the axon tunnel, jax.block_until_ready returns early for
+    programs whose output pytrees contain float0 (grad) leaves — a host
+    transfer of one element is the reliable barrier."""
+    for leaf in jax.tree_util.tree_leaves(out):
+        if hasattr(leaf, "dtype") and leaf.dtype != jax.dtypes.float0 \
+                and hasattr(leaf, "addressable_shards"):
+            import numpy as np
+            np.asarray(leaf.ravel()[0])
+            return
+    jax.block_until_ready(out)
+
+
 def timeit(fn, *args, steps=20, warmup=1):
     out = None
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(steps):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     return (time.perf_counter() - t0) / steps
 
 
