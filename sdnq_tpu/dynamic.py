@@ -116,6 +116,7 @@ def quantize_tensor_dynamic(
             use_quantized_matmul=cur_use_mm,
             use_hadamard=False,
             use_svd=False,
+            svd_precomputed=pre_svd_up is not None,
             hadamard_group_size=hadamard_group_size,
             svd_rank=svd_rank,
             svd_steps=svd_steps,

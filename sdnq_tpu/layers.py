@@ -181,6 +181,93 @@ def _quantized_matmul_2d(x2d, qt: QTensor, bias, out_dtype):
                           out_dtype=out_dtype, lowrank_u=u, lowrank_v=v)
 
 
+def _grouped_quantized_matmul(x2d, qt: QTensor, bias, out_dtype, groups: int):
+    """Grouped quantized GEMM: (M, G·CgK) × (O, CgK) -> (M, O), O = G·Og.
+
+    TPU-native replacement for the reference's per-group ``int_mm`` loop
+    (conv/conv_int8.py:16-120): one batched low-precision ``dot_general``
+    over the group dim keeps every group on the MXU in a single XLA op.
+    The zero-point algebra and the SVD correction become per-group
+    broadcastable terms instead of dense (M, O) bias materializations.
+    """
+    meta = qt.meta
+    mfmt = meta.matmul_format
+    m = x2d.shape[0]
+    o = meta.original_shape[0]
+    og = o // groups
+    cgk = x2d.shape[-1] // groups
+
+    if meta.use_hadamard:
+        x2d = rotate_hadamard(
+            x2d.reshape(m * groups, cgk), meta.hadamard_group_size,
+            precision=jax.lax.Precision.DEFAULT).reshape(m, groups * cgk)
+
+    xg = jnp.transpose(x2d.reshape(m, groups, cgk), (1, 0, 2))  # (G, M, CgK)
+
+    if meta.re_quantize_for_matmul:
+        w_q, w_scale, w_zp = _requantize_rowwise(qt)
+    elif mfmt.is_integer:
+        w_q, w_scale, w_zp = _weight_as_int8(qt)
+    else:
+        w_q = qt.qdata.reshape(qt.qdata.shape[0], -1)
+        w_scale = qt.scale.reshape(qt.scale.shape[0], -1)
+        w_zp = None
+    wg = w_q.reshape(groups, og, cgk)
+    ws = jnp.transpose(w_scale.reshape(groups, og, 1), (0, 2, 1))  # (G, 1, Og)
+    wz = (None if w_zp is None
+          else jnp.transpose(w_zp.reshape(groups, og, 1), (0, 2, 1)))
+
+    batched = (((2,), (2,)), ((0,), (0,)))  # contract CgK, batch G
+
+    if mfmt.is_integer:
+        if wz is not None or mfmt.is_unsigned:
+            # x = x_i8·s_x + zp_x, w = w_i8·s_w + zp_w (per group):
+            #   y = dot(x_i8, w_i8)·s_x·s_w + rowsum(x_i8)·s_x ⊗ zp_w
+            #     + zp_x·(colsum(w_i8)·s_w + K·zp_w)
+            x_q, x_scale, x_zp = quantize_uint_mm(xg, axis=-1)
+            if wz is None:
+                wz = jnp.zeros((groups, 1, og), jnp.float32)
+            acc = jax.lax.dot_general(
+                x_q, wg, batched, preferred_element_type=jnp.int32)
+            out = acc.astype(jnp.float32) * x_scale * ws
+            x_rowsum = jnp.sum(x_q.astype(jnp.int32), axis=-1,
+                               keepdims=True).astype(jnp.float32)
+            w_colsum = jnp.sum(wg.astype(jnp.int32), axis=-1) \
+                .astype(jnp.float32).reshape(groups, 1, og)
+            out = out + x_rowsum * x_scale * wz
+            out = out + x_zp * (w_colsum * ws + float(cgk) * wz)
+        else:
+            x_q, x_scale = quantize_int_mm(xg, axis=-1)
+            acc = jax.lax.dot_general(
+                x_q, wg, batched, preferred_element_type=jnp.int32)
+            out = acc.astype(jnp.float32) * x_scale * ws
+    elif mfmt.num_bits == 8:
+        x_q, x_scale = quantize_fp_mm(xg, axis=-1, fmt=mfmt)
+        acc = jax.lax.dot_general(
+            x_q, wg.astype(jnp.float8_e4m3fn), batched,
+            preferred_element_type=jnp.float32)
+        out = acc * x_scale * ws
+    else:
+        acc = jax.lax.dot_general(
+            xg.astype(jnp.bfloat16), wg.astype(jnp.bfloat16), batched,
+            preferred_element_type=jnp.float32)
+        out = acc * ws
+
+    if qt.svd_up is not None:
+        # SVD factors live on the (O, CgK)-flattened weight: each output row
+        # only sees its own group's input slice.
+        t = jax.lax.dot_general(
+            xg.astype(jnp.float32), qt.svd_down.astype(jnp.float32),
+            (((2,), (1,)), ((), ())))                       # (G, M, R)
+        upg = jnp.transpose(
+            qt.svd_up.astype(jnp.float32).reshape(groups, og, -1),
+            (0, 2, 1))                                      # (G, R, Og)
+        out = out + jax.lax.dot_general(t, upg, (((2,), (1,)), ((0,), (0,))))
+    if bias is not None:
+        out = out + bias.astype(jnp.float32).reshape(groups, 1, og)
+    return jnp.transpose(out, (1, 0, 2)).reshape(m, o).astype(out_dtype)
+
+
 def _weight_only_linear_2d(x2d, qt: QTensor, bias, out_dtype):
     """Fused unpack/dequant matmul (never materializes the weight).
 
@@ -270,11 +357,10 @@ def qconv(x: jax.Array, w, bias: jax.Array | None = None, *,
     if isinstance(w, QTensor):
         meta = w.meta
         out_dtype = out_dtype or jnp.dtype(meta.dequant_dtype)
-        use_mm = (meta.use_quantized_matmul and not transpose
-                  and feature_group_count == 1)
+        use_mm = meta.use_quantized_matmul and not transpose
         if use_mm:
             return _qconv_im2col(x, w, bias, stride, padding, dilation,
-                                 out_dtype)
+                                 out_dtype, feature_group_count)
         wd = dequantize(w, dtype=x.dtype)
     else:
         wd = w.astype(x.dtype)
@@ -307,18 +393,38 @@ def _dim_numbers(nd: int):
     return (f"N{spatial}C", f"{spatial}IO", f"N{spatial}C")
 
 
-def _qconv_im2col(x, qt: QTensor, bias, stride, padding, dilation, out_dtype):
+def _qconv_im2col(x, qt: QTensor, bias, stride, padding, dilation, out_dtype,
+                  feature_group_count: int = 1):
     """im2col -> quantized linear (reference conv/forward.py:26-75)."""
     nd = x.ndim - 2
     kshape = qt.meta.original_shape[2:]
     # patches feature dim ordered C*prod(k) channel-major, matching the
-    # OIHW flatten order of the stored weight
+    # OIHW flatten order of the stored weight; for grouped convs each
+    # group's Cg*prod(k) feature slice is therefore contiguous
     patches = jax.lax.conv_general_dilated_patches(
         x, filter_shape=kshape, window_strides=stride, padding=padding,
         rhs_dilation=dilation,
         dimension_numbers=_dim_numbers(nd))
     m2d, lead = _flatten_batch(patches)
-    if qt.meta.use_quantized_matmul and m2d.shape[0] >= _MIN_MATMUL_ROWS:
+    if feature_group_count > 1:
+        if qt.meta.use_quantized_matmul and m2d.shape[0] >= _MIN_MATMUL_ROWS:
+            out = _grouped_quantized_matmul(m2d, qt, bias, out_dtype,
+                                            feature_group_count)
+        else:
+            wd = dequantize(qt, dtype=jnp.float32)
+            wd = wd.reshape(feature_group_count, -1, m2d.shape[-1]
+                            // feature_group_count)
+            xg = jnp.transpose(
+                m2d.astype(jnp.float32).reshape(
+                    m2d.shape[0], feature_group_count, -1), (1, 0, 2))
+            og = jax.lax.dot_general(
+                xg, wd, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            out = jnp.transpose(og, (1, 0, 2)).reshape(m2d.shape[0], -1)
+            if bias is not None:
+                out = out + bias.astype(jnp.float32)
+            out = out.astype(out_dtype)
+    elif qt.meta.use_quantized_matmul and m2d.shape[0] >= _MIN_MATMUL_ROWS:
         out = _quantized_matmul_2d(m2d, qt, bias, out_dtype)
     else:
         out = _weight_only_linear_2d(m2d, qt, bias, out_dtype)

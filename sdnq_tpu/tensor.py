@@ -187,6 +187,7 @@ def quantize_tensor(
     use_stochastic_rounding: bool = False,
     dequant_dtype: str = "bfloat16",
     rng: jax.Array | None = None,
+    svd_precomputed: bool = False,
 ) -> QTensor:
     """Quantize a weight into a QTensor (the reference's
     ``sdnq_quantize_layer_weight`` pipeline, quantizer.py:67-261, as a pure
@@ -223,8 +224,13 @@ def quantize_tensor(
         svd_down = svd_down.astype(jnp.dtype(dequant_dtype))
 
     if group_size == 0:
-        group_size = auto_group_size(fmt, layer_kind, svd_up is not None,
-                                     use_quantized_matmul, re_quantize)
+        # `svd_precomputed` marks callers (the dynamic ladder) that apply the
+        # SVD residual outside this function; the group-size rule must still
+        # see has_svd=True (reference: quantizer.py:171-214 computes SVD
+        # before the group-size search, so SVD layers get 2^(3+bits)).
+        group_size = auto_group_size(
+            fmt, layer_kind, svd_up is not None or svd_precomputed,
+            use_quantized_matmul, re_quantize)
 
     grouped, group_axis, red_axes, g, num = _grouped_view(w, layer_kind, group_size)
     re_quantize = re_quantize or num > 1

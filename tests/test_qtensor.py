@@ -156,6 +156,61 @@ def test_qconv_im2col_matmul():
     assert rel < 0.06, rel
 
 
+def _grouped_conv_ref(x, wd, groups, stride=(1, 1), padding="SAME"):
+    return jax.lax.conv_general_dilated(
+        x, jnp.moveaxis(wd, (0, 1), (-1, -2)), stride, padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups)
+
+
+def test_qconv_grouped_quantized_matmul():
+    """Grouped conv runs the batched quantized GEMM, not a silent bf16
+    fallback (reference: conv/conv_int8.py:16-120 per-group int_mm loop)."""
+    groups = 4
+    w = _w((64, 8, 3, 3))  # O=64, Cg=8, C=32
+    x = _w((2, 16, 16, 32), seed=4, scale=0.5)
+    for fmt, mm in [("int8", None), ("uint8", None),
+                    ("float8_e4m3fn", None), ("int8", "float16")]:
+        qt = quantize_tensor(w, fmt, layer_kind="conv",
+                             matmul_fmt=mm,
+                             use_quantized_matmul=True, group_size=-1)
+        y = qconv(x, qt, stride=1, padding="SAME",
+                  feature_group_count=groups, out_dtype=jnp.float32)
+        ref = _grouped_conv_ref(x, dequantize(qt, jnp.float32), groups)
+        rel = float(jnp.abs(y - ref).max() / jnp.abs(ref).max())
+        assert rel < 0.08, (fmt, mm, rel)
+
+
+def test_qconv_grouped_svd_and_hadamard():
+    groups = 2
+    w = _w((32, 16, 3, 3))
+    x = _w((1, 8, 8, 32), seed=9, scale=0.5)
+    b = _w((32,), seed=11)
+    qt = quantize_tensor(w, "int8", layer_kind="conv",
+                         use_quantized_matmul=True, group_size=-1,
+                         use_svd=True, svd_rank=4, use_hadamard=True,
+                         hadamard_group_size=16)
+    y = qconv(x, qt, b, stride=1, padding="SAME",
+              feature_group_count=groups, out_dtype=jnp.float32)
+    ref = _grouped_conv_ref(x, dequantize(qt, jnp.float32), groups) \
+        + b.astype(jnp.float32)
+    rel = float(jnp.abs(y - ref).max() / jnp.abs(ref).max())
+    assert rel < 0.08, rel
+
+
+def test_qconv_grouped_weight_only_small_batch():
+    groups = 4
+    w = _w((64, 8, 3, 3))
+    x = _w((1, 2, 2, 32), seed=4, scale=0.5)  # 4 rows < _MIN_MATMUL_ROWS
+    qt = quantize_tensor(w, "int8", layer_kind="conv",
+                         use_quantized_matmul=True, group_size=-1)
+    y = qconv(x, qt, stride=1, padding="SAME",
+              feature_group_count=groups, out_dtype=jnp.float32)
+    ref = _grouped_conv_ref(x, dequantize(qt, jnp.float32), groups)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=1e-3,
+                               atol=1e-3)
+
+
 def test_qembedding():
     w = _w((1000, 128))
     qt = quantize_tensor(w, "int8", layer_kind="embedding")
@@ -213,6 +268,21 @@ def test_dynamic_quantization_ladder():
     assert qt2 is not None
     from sdnq_tpu import get_format
     assert get_format(qt2.meta.fmt).num_bits > 2
+
+
+def test_dynamic_ladder_svd_group_size_matches_reference_rule():
+    """SVD layers must pick 2^(3+bits) groups in the dynamic ladder, same as
+    the static path (reference: quantizer.py:171-214 computes SVD before the
+    group-size search)."""
+    w = _w((128, 512), seed=7)
+    qt = quantize_tensor_dynamic(w, fmt="int4", use_svd=True, svd_rank=8,
+                                 dynamic_loss_threshold=1.0)
+    qt_static = quantize_tensor(w, "int4", use_svd=True, svd_rank=8)
+    assert qt is not None
+    assert qt.svd_up is not None
+    assert qt.meta.group_size == qt_static.meta.group_size
+    # int4 + SVD on a 512-channel linear: 2^(3+4)=128 groups of 128
+    assert qt.meta.group_size == 128
 
 
 def test_qlinear_under_jit_and_grad_nondiff_wrt_weight():

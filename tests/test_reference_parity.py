@@ -154,6 +154,31 @@ def test_conv_matches_torch():
     np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-4)
 
 
+def test_grouped_conv_quantized_matmul_matches_torch():
+    """Grouped-conv quantized GEMM vs torch grouped conv on the dequantized
+    weight (reference per-group loop: conv/conv_int8.py:16-120)."""
+    import torch
+
+    from sdnq_tpu import qconv, quantize_tensor, dequantize
+    rng = np.random.default_rng(6)
+    groups = 4
+    x = rng.normal(size=(2, 32, 12, 12)).astype(np.float32)   # NCHW, C=32
+    w = rng.normal(size=(64, 8, 3, 3)).astype(np.float32)     # O=64, Cg=8
+    b = rng.normal(size=(64,)).astype(np.float32)
+    qt = quantize_tensor(jnp.asarray(w), "int8", layer_kind="conv",
+                         use_quantized_matmul=True, group_size=-1)
+    wd = np.asarray(dequantize(qt, jnp.float32))
+    theirs = torch.nn.functional.conv2d(
+        torch.from_numpy(x), torch.from_numpy(wd), torch.from_numpy(b),
+        stride=1, padding=1, groups=groups).numpy()
+    ours = np.asarray(qconv(
+        jnp.asarray(x.transpose(0, 2, 3, 1)), qt, jnp.asarray(b),
+        stride=1, padding=((1, 1), (1, 1)), feature_group_count=groups,
+        out_dtype=jnp.float32)).transpose(0, 3, 1, 2)
+    rel = np.abs(ours - theirs).max() / np.abs(theirs).max()
+    assert rel < 0.05, rel
+
+
 def test_conv_transpose_matches_torch():
     import torch
 
