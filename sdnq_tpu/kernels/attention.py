@@ -36,7 +36,7 @@ from ..quant.hadamard import (
     get_hadamard_group_size, next_power_of_2, rotate_hadamard,
 )
 
-__all__ = ["quantized_attention"]
+__all__ = ["quantized_attention", "flash_attention_block"]
 
 _NEG_INF = -1e30
 
@@ -46,10 +46,10 @@ _NEG_INF = -1e30
 # ---------------------------------------------------------------------------
 
 def _attn_kernel(q_ref, k_ref, v_ref, qs_ref, ks_ref, vs_ref, mask_ref,
-                 out_ref, *, bm: int, bk: int, n_k: int, d: int,
-                 causal: bool, has_mask: bool, mask_is_bool: bool,
-                 quantized: bool, quantized_pv: bool, sm_scale: float,
-                 kn_valid: int):
+                 out_ref, m_ref=None, l_ref=None, *, bm: int, bk: int,
+                 n_k: int, d: int, causal: bool, has_mask: bool,
+                 mask_is_bool: bool, quantized: bool, quantized_pv: bool,
+                 sm_scale: float, kn_valid: int, partial_out: bool = False):
     i = pl.program_id(1)
     row0 = i * bm
 
@@ -111,7 +111,15 @@ def _attn_kernel(q_ref, k_ref, v_ref, qs_ref, ks_ref, vs_ref, mask_ref,
             acc = acc * alpha + pv
         m_i = m_new
 
-    out_ref[0] = (acc / jnp.maximum(l_i, 1e-30)).astype(out_ref.dtype)
+    if partial_out:
+        # flash-decoding style partial results: unnormalized acc + (m, l)
+        # running stats, merged across KV partitions by the caller
+        # (parallel/ring_attention.py)
+        out_ref[0] = acc.astype(out_ref.dtype)
+        m_ref[0] = m_i
+        l_ref[0] = l_i
+    else:
+        out_ref[0] = (acc / jnp.maximum(l_i, 1e-30)).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -173,6 +181,139 @@ def _attn_pallas(q, k, v, q_scale, k_scale, v_scale, mask, *, causal,
             transcendentals=n * kn * bh),
         interpret=pallas_interpret(),
     )(q, k, v, qs_in, ks_in, vs_in, mask_in)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "quantized", "quantized_pv", "sm_scale", "mask_is_bool", "bm", "bk"))
+def _attn_block_pallas(q, k, v, q_scale, k_scale, v_scale, mask, *,
+                       quantized, quantized_pv, sm_scale, mask_is_bool,
+                       bm, bk):
+    """Partial flash attention over one KV block: returns (acc, m, l) with
+    acc UNNORMALIZED — the ring/sequence-parallel merge primitive."""
+    bh, n, d = q.shape
+    _, kn, _ = k.shape
+    n_k = kn // bk
+    has_mask = mask is not None
+
+    qs_in = (q_scale[..., None] if quantized
+             else jnp.zeros((bh, n, 1), jnp.float32))
+    ks_in = (k_scale[:, None, :] if quantized
+             else jnp.zeros((bh, 1, kn), jnp.float32))
+    vs_in = (v_scale[:, None, :] if quantized_pv
+             else jnp.zeros((bh, 1, kn), jnp.float32))
+    mask_in = mask if has_mask else jnp.zeros((1, 1, 8), jnp.int8)
+    mask_bh = mask_in.shape[0]
+
+    kernel = functools.partial(
+        _attn_kernel, bm=bm, bk=bk, n_k=n_k, d=d, causal=False,
+        has_mask=has_mask, mask_is_bool=mask_is_bool, quantized=quantized,
+        quantized_pv=quantized_pv, sm_scale=sm_scale, kn_valid=kn,
+        partial_out=True)
+
+    flops = 4 * n * kn * d * bh
+    return pl.pallas_call(
+        kernel,
+        grid=(bh, pl.cdiv(n, bm)),
+        in_specs=[
+            pl.BlockSpec((1, bm, d), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kn, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kn, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bm, 1), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, kn), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, kn), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, bm, mask_in.shape[-1]),
+                (lambda b, i: (b % mask_bh, i, 0)) if has_mask
+                else (lambda b, i: (0, 0, 0)),
+                memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bm, d), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bm, 1), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bm, 1), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, n, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((bh, n, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=q.size + k.size + v.size,
+            transcendentals=n * kn * bh),
+        interpret=pallas_interpret(),
+    )(q, k, v, qs_in, ks_in, vs_in, mask_in)
+
+
+def _attn_block_xla(q, k, v, q_scale, k_scale, v_scale, mask, *,
+                    quantized, quantized_pv, sm_scale, mask_is_bool):
+    if quantized:
+        acc_t = jnp.int32 if q.dtype == jnp.int8 else jnp.float32
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=acc_t).astype(jnp.float32)
+        s = s * q_scale[..., None] * k_scale[:, None, :]
+    else:
+        s = jnp.einsum("bnd,bkd->bnk", q.astype(jnp.float32),
+                       k.astype(jnp.float32)) * sm_scale
+    if mask is not None:
+        if mask_is_bool:
+            s = jnp.where(mask != 0, s, _NEG_INF)
+        else:
+            s = s + mask.astype(jnp.float32)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    if quantized_pv:
+        p_eff = p * v_scale[:, None, :]
+        p_scale = jnp.maximum(p_eff.max(-1, keepdims=True), 1e-20) / 127.0
+        p_q = jnp.round(p_eff / p_scale)
+        acc = jnp.einsum("bnk,bkd->bnd", p_q,
+                         v.astype(jnp.float32)) * p_scale
+    else:
+        acc = jnp.einsum("bnk,bkd->bnd", p, v.astype(jnp.float32))
+    return acc, m, l
+
+
+def flash_attention_block(q, k, v, q_scale=None, k_scale=None, v_scale=None,
+                          mask=None, *, quantized=True, quantized_pv=False,
+                          sm_scale=1.0, mask_is_bool=True):
+    """Partial flash attention over one KV block.
+
+    q (BH, N, D) int8/fp8/float; k/v (BH, KN, D); scales per token; mask
+    (1 or BH, N, KN).  Returns UNNORMALIZED (acc, m, l) for online-softmax
+    merging across KV partitions — the seam between the attention kernel
+    and ring attention (parallel/ring_attention.py)."""
+    bh, n, d = q.shape
+    kn = k.shape[1]
+    use_kernel = (use_pallas() and n % 8 == 0 and kn % 128 == 0
+                  and d % 128 == 0)
+    if use_kernel:
+        bm = min(512, n)
+        while n % bm != 0:
+            bm //= 2
+        bk = min(512, kn)
+        while kn % bk != 0:
+            bk //= 2
+        return _attn_block_pallas(
+            q, k, v, q_scale, k_scale, v_scale, mask,
+            quantized=quantized, quantized_pv=quantized_pv,
+            sm_scale=float(sm_scale), mask_is_bool=mask_is_bool,
+            bm=bm, bk=bk)
+    return _attn_block_xla(
+        q, k, v, q_scale, k_scale, v_scale, mask, quantized=quantized,
+        quantized_pv=quantized_pv, sm_scale=float(sm_scale),
+        mask_is_bool=mask_is_bool)
 
 
 # ---------------------------------------------------------------------------

@@ -69,12 +69,17 @@ def _dequant_mm_kernel(x_ref, wq_ref, scale_ref, zp_ref, bias_ref, out_ref,
     # the unpack cost multiplies by n_i (M/BM) and dominates at large M.
     @pl.when(i == 0)
     def _():
-        for kt in range(n_k):
-            k0 = kt * bk
-            if packed:
-                # segment-major layout: segment kt of the row lives in bit
-                # position kt of every byte plane — unpack is pure
-                # lane-wise shift/mask, no reshape (packing.py docstring)
+        if packed:
+            # Segment-major layout: segment kt of the row lives in bit
+            # position kt of every byte plane — unpack is pure lane-wise
+            # shift/mask, no reshape (packing.py docstring).  The segment
+            # loop is a *sequential* fori_loop writing through a 3D scratch
+            # indexed on the untiled leading axis: each iteration's decode
+            # temporaries are transient (an unrolled python loop keeps all
+            # 8 segments' temporaries live in scoped VMEM at once, which
+            # blew the 16MB budget for float decode / fine groups — the
+            # reason those were routed to XLA before).
+            def unpack_seg(kt, _):
                 codes = None
                 for j in range(code_bits):
                     plane = wq_ref[:, j, :].astype(jnp.int32)  # (BN, K/8)
@@ -85,27 +90,51 @@ def _dequant_mm_kernel(x_ref, wq_ref, scale_ref, zp_ref, bias_ref, out_ref,
                                         dtype=jnp.float32)
                 else:
                     vals = (codes + code_min).astype(jnp.float32)
-            else:
-                vals = wq_ref[:, k0:k0 + bk].astype(jnp.float32)
+                sg = scale_ref.shape[-1]
+                w = vals * _expand_seg(scale_ref[kt], sg, bn, bk)
+                if has_zp:
+                    w = w + _expand_seg(zp_ref[kt], sg, bn, bk)
+                wdeq_ref[kt] = w.astype(wdeq_ref.dtype)
+                return 0
 
-            gi = k0 // g
-            sg = max(1, bk // g)
-            w = vals * _broadcast_groups(scale_ref, gi, sg, g, bn, bk)
-            if has_zp:
-                w = w + _broadcast_groups(zp_ref, gi, sg, g, bn, bk)
-            wdeq_ref[:, k0:k0 + bk] = w.astype(wdeq_ref.dtype)
+            jax.lax.fori_loop(0, n_k, unpack_seg, 0)
+        else:
+            for kt in range(n_k):
+                k0 = kt * bk
+                vals = wq_ref[:, k0:k0 + bk].astype(jnp.float32)
+                gi = k0 // g
+                sg = max(1, bk // g)
+                w = vals * _broadcast_groups(scale_ref, gi, sg, g, bn, bk)
+                if has_zp:
+                    w = w + _broadcast_groups(zp_ref, gi, sg, g, bn, bk)
+                wdeq_ref[kt] = w.astype(wdeq_ref.dtype)
 
     acc = None
     for kt in range(n_k):
         k0 = kt * bk
         part = jax.lax.dot_general(
-            x_ref[:, k0:k0 + bk], wdeq_ref[:, k0:k0 + bk],
+            x_ref[:, k0:k0 + bk], wdeq_ref[kt],
             (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
         acc = part if acc is None else acc + part
 
     if has_bias:
         acc = acc + bias_ref[:].astype(jnp.float32)
     out_ref[:] = acc.astype(out_ref.dtype)
+
+
+def _expand_seg(scale_2d, sg: int, bn: int, bk: int):
+    """(BN, sg) per-segment group scalars -> (BN, BK) lanes."""
+    s = scale_2d.astype(jnp.float32)
+    if sg == 1:
+        return s[:, 0:1]
+    geff = bk // sg
+    if geff % 128 == 0:
+        return jnp.repeat(s, geff, axis=-1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (bn, bk), 1) // geff
+    out = jnp.zeros((bn, bk), jnp.float32)
+    for j in range(sg):
+        out = out + jnp.where(col == j, s[:, j:j + 1], 0.0)
+    return out
 
 
 def _pick_block(dim: int, preferred: int, align: int) -> int:
@@ -153,10 +182,12 @@ def _dequant_mm_pallas(x, wq, scale, zp, bias, *, fmt_name, code_bits,
     # intermediates) — all must fit the 16MB scoped VMEM.
     has_zp_est = zp is not None
     x_row = kdim * x.dtype.itemsize
-    # non-packed tiles are (BN, bk<=512) slices — their temporaries never
-    # pressured VMEM in practice; only the packed full-segment unpack does
-    temp_row = (kdim // 8) * (12 + (8 if has_zp_est else 0)
-                              + (8 if is_float_fmt else 0)) if packed else 0
+    # packed unpack temporaries are per-iteration transient now (sequential
+    # fori_loop): budget one segment's int32 planes + f32 decode values
+    temp_row = (kdim // 8) * 4 * (code_bits + 4
+                                  + (4 if has_zp_est else 0)
+                                  + (6 if is_float_fmt else 0)) \
+        if packed else 0
     w_row = ((code_bits * kdim // 8) if packed else kdim) \
         + kdim * x.dtype.itemsize + temp_row
     bm_ = _pick_block(m, bm, 8)
@@ -180,10 +211,26 @@ def _dequant_mm_pallas(x, wq, scale, zp, bias, *, fmt_name, code_bits,
         w_spec = pl.BlockSpec((bn_, code_bits, kdim // 8),
                               lambda j, i: (j, 0, 0),
                               memory_space=pltpu.VMEM)
+        # pre-gather per-segment group scalars: seg_scale[kt, :, s] is the
+        # scale of the group containing value kt*bk + s*geff — the kernel's
+        # fori_loop indexes segments on the untiled leading axis
+        sg = max(1, bk_ // g)
+        geff = bk_ // sg
+        idx = (jnp.arange(n_k)[:, None] * bk_
+               + jnp.arange(sg)[None, :] * geff) // g    # (n_k, sg)
+        scale_in = jnp.take(scale, idx, axis=1).transpose(1, 0, 2)
+        zp_in3 = jnp.take(zp_in, idx, axis=1).transpose(1, 0, 2)
+        s_spec = pl.BlockSpec((n_k, bn_, sg), lambda j, i: (0, j, 0),
+                              memory_space=pltpu.VMEM)
+        z_spec = s_spec
     else:
         wq_in = wq
         w_spec = pl.BlockSpec((bn_, kdim), lambda j, i: (j, 0),
                               memory_space=pltpu.VMEM)
+        scale_in, zp_in3 = scale, zp_in
+        s_spec = pl.BlockSpec((bn_, n_groups), lambda j, i: (j, 0),
+                              memory_space=pltpu.VMEM)
+        z_spec = s_spec
 
     kernel = functools.partial(
         _dequant_mm_kernel, packed=packed, code_bits=code_bits,
@@ -201,23 +248,21 @@ def _dequant_mm_pallas(x, wq, scale, zp, bias, *, fmt_name, code_bits,
             pl.BlockSpec((bm_, kdim), lambda j, i: (i, 0),
                          memory_space=pltpu.VMEM),
             w_spec,
-            pl.BlockSpec((bn_, n_groups), lambda j, i: (j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bn_, n_groups), lambda j, i: (j, 0),
-                         memory_space=pltpu.VMEM),
+            s_spec,
+            z_spec,
             pl.BlockSpec((1, bn_), lambda j, i: (0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bm_, bn_), lambda j, i: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, o), out_dtype),
-        scratch_shapes=[pltpu.VMEM((bn_, kdim), x.dtype)],
+        scratch_shapes=[pltpu.VMEM((n_k, bn_, bk_), x.dtype)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0),
         interpret=pallas_interpret(),
-    )(x, wq_in, scale, zp_in, bias_in)
+    )(x, wq_in, scale_in, zp_in3, bias_in)
 
 
 def dequant_matmul(x: jax.Array, wq: jax.Array, scale: jax.Array,
@@ -236,16 +281,15 @@ def dequant_matmul(x: jax.Array, wq: jax.Array, scale: jax.Array,
     g = group_size if group_size > 0 else kdim
     if packed:
         # segment tiling: segments of K/8 values must align with groups and
-        # with the 128-lane layout.  Mosaic keeps the unrolled segment
-        # loop's temporaries live simultaneously, so the float-decode path
-        # (many f32 intermediates) and very fine groups (long
-        # select-broadcast chains) blow the 16MB scoped VMEM — those route
-        # to the XLA path until the unpack loop is made sequential.
+        # with the 128-lane layout.  The sequential-fori unpack keeps only
+        # one segment's decode temporaries live, so float formats and fine
+        # groups run in-kernel too; only extremely fine groups (select
+        # chains > 64 terms per segment) still route to XLA.
         segw = kdim // 8
         sg = max(1, segw // g)
         pallas_ok = (kdim % 1024 == 0 and kdim <= _MAX_K
                      and (g % segw == 0 or segw % g == 0)
-                     and fmt.is_integer and sg <= 16)
+                     and sg <= 64)
     else:
         pallas_ok = kdim % 8 == 0 and _choose_k_tile(kdim, g) > 0
     if use_pallas() and pallas_ok:

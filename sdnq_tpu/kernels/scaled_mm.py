@@ -28,7 +28,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .dispatch import use_pallas, pallas_interpret
 
-__all__ = ["scaled_mm", "int8_mm", "fp8_mm", "bf16_scaled_mm"]
+__all__ = ["scaled_mm", "scaled_mm_fused_act", "int8_mm", "fp8_mm",
+           "bf16_scaled_mm"]
 
 
 # ---------------------------------------------------------------------------
@@ -200,6 +201,166 @@ def _scaled_mm_pallas(x_q, w_q, x_scale, w_scale, bias, u=None, v=None,
 
 
 # ---------------------------------------------------------------------------
+# Fused activation-quantize scaled matmul.
+#
+# The reference quantizes activations in a torch.compile region feeding the
+# Triton kernel (linear_int8.py:71-120) — one fused producer graph.  The
+# TPU equivalent fuses the per-row absmax quantize into the Pallas kernel
+# itself: with bk == K the x block (i, 0) stays VMEM-resident across the
+# whole j sweep, so the prologue quantizes it ONCE per i (at j == 0) into an
+# int8/fp8 scratch and every weight tile reuses that scratch.  Per-row
+# scales are exact (the full K row is in the tile) and the separate XLA
+# quantize pass — an extra full read+write of x — disappears.
+# ---------------------------------------------------------------------------
+
+def _fused_act_mm_kernel(x_ref, w_ref, ws_ref, bias_ref, u_ref, v_ref,
+                         vz0_ref, vz1_ref, out_ref,
+                         xq_ref, xs_ref, rs_ref, zp_ref, *, qmax, acc_dtype,
+                         has_ws, has_bias, has_uv, asym, fuse_fp8):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        x = x_ref[:].astype(jnp.float32)
+        if asym:
+            # asymmetric per-row against the signed range: the int8 MXU
+            # sees x_i8 with x = x_i8*scale + zp  (quant/core.py
+            # quantize_uint_mm); the zero-point folds become two rank-1
+            # epilogue terms built from in-kernel row stats.
+            xmin = jnp.min(x, axis=1, keepdims=True)
+            xmax = jnp.max(x, axis=1, keepdims=True)
+            scale = jnp.maximum((xmax - xmin) / (2.0 * qmax + 1.0),
+                                2.0 ** -126)
+            zp = xmin + scale * (qmax + 1.0)
+            q = jnp.clip(jnp.round((x - zp) / scale), -qmax - 1.0, qmax)
+            xq_ref[:] = q.astype(xq_ref.dtype)
+            xs_ref[:] = scale
+            rs_ref[:] = jnp.sum(q, axis=1, keepdims=True) * scale
+            zp_ref[:] = zp
+        else:
+            amax = jnp.max(jnp.abs(x), axis=1, keepdims=True)
+            scale = jnp.maximum(amax / qmax, 2.0 ** -126)
+            if fuse_fp8:
+                xq_ref[:] = jnp.clip(x / scale, -qmax, qmax) \
+                    .astype(xq_ref.dtype)
+            else:
+                xq_ref[:] = jnp.clip(jnp.round(x / scale),
+                                     -qmax - 1.0, qmax).astype(xq_ref.dtype)
+            xs_ref[:] = scale
+
+    acc = jax.lax.dot_general(
+        xq_ref[:], w_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=acc_dtype)
+    out = acc.astype(jnp.float32) * xs_ref[:]
+    if has_ws:
+        out = out * ws_ref[:].astype(jnp.float32)
+    if has_bias:
+        out = out + bias_ref[:].astype(jnp.float32)
+    if asym:
+        # y += rowsum(x_q)*x_scale (x) w_zp + x_zp (x) (colsum(w)*ws + K*wzp)
+        out = out + rs_ref[:] * vz0_ref[:].astype(jnp.float32)
+        out = out + zp_ref[:] * vz1_ref[:].astype(jnp.float32)
+    if has_uv:
+        out = out + jax.lax.dot_general(
+            u_ref[:].astype(jnp.float32), v_ref[:].astype(jnp.float32),
+            (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+    out_ref[:] = out.astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("x_fmt", "out_dtype", "bm", "bn"),
+)
+def _fused_act_mm_pallas(x, w_q, w_scale, bias, u=None, v=None,
+                         v_zp0=None, v_zp1=None,
+                         x_fmt="int8", out_dtype=jnp.bfloat16,
+                         bm=0, bn=0):
+    """x (M, K) float; w_q (O, K) int8/fp8.  Quantizes x per-row in the
+    kernel prologue (j == 0 of each i-row; the x block stays VMEM-resident
+    across the j sweep).  u/v carry the SVD epilogue; v_zp0/v_zp1 are the
+    weight-side zero-point rank-1 rows for the asymmetric path."""
+    m, kdim = x.shape
+    o, _ = w_q.shape
+    asym = v_zp0 is not None
+    fuse_fp8 = x_fmt.startswith("float8")
+    if fuse_fp8:
+        from ..formats import get_format
+        f = get_format(x_fmt)
+        qdt, qmax, acc_dtype = f.jnp_storage, float(f.max), jnp.float32
+    else:
+        qdt, qmax, acc_dtype = jnp.int8, 127.0, jnp.int32
+
+    # Block policy: full-K x tile resident per i; sweep w tiles over j.
+    # VMEM: x bf16 (bm,K)*2buf + xq (bm,K) + w (bn,K)*2buf + out (bm,bn)*2.
+    if bm == 0 or bn == 0:
+        bn = bn or 512
+        if bm == 0:
+            bm = 512
+            while bm > 64 and (bm * kdim * (2 * x.dtype.itemsize + 1)
+                               + 2 * bn * kdim * w_q.dtype.itemsize
+                               + 2 * bm * bn * 4) > 13 * 2 ** 20:
+                bm //= 2
+    bm_ = _pick_block(m, bm, 32)
+    bn_ = _pick_block(o, bn, 128)
+    n_i, n_j = pl.cdiv(m, bm_), pl.cdiv(o, bn_)
+
+    has_ws, has_bias = w_scale is not None, bias is not None
+    has_uv = u is not None
+    r = u.shape[-1] if has_uv else 8
+    ws = (w_scale.reshape(1, -1) if has_ws
+          else jnp.zeros((1, o), jnp.float32))
+    b = bias.reshape(1, -1) if has_bias else jnp.zeros((1, o), jnp.float32)
+    u_in = u if has_uv else jnp.zeros((m, r), jnp.float32)
+    v_in = v if has_uv else jnp.zeros((r, o), jnp.float32)
+    z0 = (v_zp0.reshape(1, -1) if asym else jnp.zeros((1, o), jnp.float32))
+    z1 = (v_zp1.reshape(1, -1) if asym else jnp.zeros((1, o), jnp.float32))
+
+    kernel = functools.partial(
+        _fused_act_mm_kernel, qmax=qmax, acc_dtype=acc_dtype,
+        has_ws=has_ws, has_bias=has_bias, has_uv=has_uv, asym=asym,
+        fuse_fp8=fuse_fp8)
+
+    flops = 2 * m * o * kdim
+    bytes_accessed = (m * kdim * x.dtype.itemsize + o * kdim
+                      + m * o * jnp.dtype(out_dtype).itemsize)
+    row = lambda i, j: (0, j)  # noqa: E731
+    return pl.pallas_call(
+        kernel,
+        grid=(n_i, n_j),
+        in_specs=[
+            pl.BlockSpec((bm_, kdim), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn_, kdim), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn_), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn_), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm_, r), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, bn_), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn_), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn_), row, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm_, bn_), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, o), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bm_, kdim), qdt),        # quantized x
+            pltpu.VMEM((bm_, 1), jnp.float32),   # row scales
+            pltpu.VMEM((bm_, 1), jnp.float32),   # rowsum * scale (asym)
+            pltpu.VMEM((bm_, 1), jnp.float32),   # row zero points (asym)
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0),
+        interpret=pallas_interpret(),
+    )(x, w_q, ws, b, u_in, v_in, z0, z1)
+
+
+# ---------------------------------------------------------------------------
 # Public entry points
 # ---------------------------------------------------------------------------
 
@@ -237,6 +398,62 @@ def scaled_mm(x_q: jax.Array, w_q: jax.Array,
                + lowrank_u.astype(jnp.float32)
                @ lowrank_v.astype(jnp.float32)).astype(out_dtype)
     return out
+
+
+def scaled_mm_fused_act(x, w_q,
+                        w_scale: jax.Array | None = None,
+                        bias: jax.Array | None = None, *,
+                        x_fmt: str = "int8",
+                        out_dtype=jnp.bfloat16,
+                        lowrank_u: jax.Array | None = None,
+                        lowrank_v: jax.Array | None = None,
+                        v_zp0: jax.Array | None = None,
+                        v_zp1: jax.Array | None = None,
+                        bm: int = 0, bn: int = 0) -> jax.Array:
+    """``scaled_mm`` with the per-row activation quantization fused into the
+    kernel prologue — x arrives in bf16/f32 and never round-trips through
+    HBM as a separate quantized array (the reference fuses this via
+    torch.compile feeding Triton: linear_int8.py:71-120).
+
+    x_fmt: "int8" (symmetric), "uint8" (asymmetric; requires v_zp0/v_zp1 =
+    the weight-side zero-point rank-1 rows), or a float8 name.
+    Falls back to quantize-then-scaled_mm off-TPU or for shapes the fused
+    kernel does not support.
+    """
+    m, kdim = x.shape
+    asym = x_fmt == "uint8"
+    pad = (-kdim) % 128
+    eligible = (use_pallas() and m >= 16 and kdim >= 256
+                and kdim + pad <= 16384
+                and not (asym and pad))  # zero-pad would skew min/max
+    if eligible:
+        if pad:
+            x = jnp.pad(x, ((0, 0), (0, pad)))
+            w_q = jnp.pad(w_q, ((0, 0), (0, pad)))
+        return _fused_act_mm_pallas(
+            x, w_q, w_scale, bias, lowrank_u, lowrank_v, v_zp0, v_zp1,
+            x_fmt=x_fmt, out_dtype=jnp.dtype(out_dtype), bm=bm, bn=bn)
+
+    from ..quant.core import quantize_fp_mm, quantize_int_mm, quantize_uint_mm
+    u, v = lowrank_u, lowrank_v
+    if asym:
+        x_q, x_scale, x_zp = quantize_uint_mm(x, axis=-1)
+        rs = jnp.sum(x_q.astype(jnp.int32), axis=-1,
+                     keepdims=True).astype(jnp.float32) * x_scale
+        u_cols = [rs, x_zp.astype(jnp.float32)]
+        v_rows = [v_zp0.reshape(1, -1), v_zp1.reshape(1, -1)]
+        if u is not None:
+            u_cols.append(u)
+            v_rows.append(v)
+        u = jnp.concatenate(u_cols, axis=-1)
+        v = jnp.concatenate(v_rows, axis=0)
+    elif x_fmt.startswith("float8"):
+        x_q, x_scale = quantize_fp_mm(x, axis=-1, fmt=x_fmt)
+        w_q = w_q.astype(x_q.dtype)
+    else:
+        x_q, x_scale = quantize_int_mm(x, axis=-1)
+    return scaled_mm(x_q, w_q, x_scale, w_scale, bias, out_dtype=out_dtype,
+                     lowrank_u=u, lowrank_v=v)
 
 
 def int8_mm(x_q, w_q, out_dtype=jnp.int32):

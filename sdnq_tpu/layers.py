@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from .kernels.dequant_mm import dequant_matmul
-from .kernels.scaled_mm import scaled_mm, bf16_scaled_mm
+from .kernels.scaled_mm import scaled_mm, scaled_mm_fused_act, bf16_scaled_mm
 from .quant.core import quantize_int_mm, quantize_uint_mm, quantize_fp_mm
 from .quant.hadamard import rotate_hadamard
 from .tensor import QTensor, dequantize
@@ -144,6 +144,7 @@ def _quantized_matmul_2d(x2d, qt: QTensor, bias, out_dtype):
 
     kdim = x2d.shape[-1]
     m = x2d.shape[0]
+    u, v = finish_uv(m)
     if mfmt.is_integer:
         if w_zp is not None or mfmt.is_unsigned:
             # asymmetric x asymmetric zero-point algebra as TWO rank-1
@@ -151,30 +152,24 @@ def _quantized_matmul_2d(x2d, qt: QTensor, bias, out_dtype):
             # linear_uint8.py:62-68):
             #   y += [rowsum(x_q)*x_s] (x) w_zp
             #      + x_zp (x) [colsum(w_q)*w_s + K*w_zp]
-            x_q, x_scale, x_zp = quantize_uint_mm(x2d, axis=-1)
+            # The x-side factors are built inside the fused kernel's
+            # quantize prologue; only the weight-side rows are precomputed.
             w_colsum = jnp.sum(w_q.astype(jnp.int32), axis=-1)[None, :] \
                 .astype(jnp.float32)
             wz = (jnp.zeros((1, w_q.shape[0]), jnp.float32)
                   if w_zp is None else w_zp.reshape(1, -1))
-            x_rowsum = jnp.sum(x_q.astype(jnp.int32), axis=-1,
-                               keepdims=True).astype(jnp.float32)
-            u_cols.append(x_rowsum * x_scale)
-            v_cols.append(wz)
-            u_cols.append(x_zp.astype(jnp.float32))
-            v_cols.append(w_colsum * w_scale.reshape(1, -1)
-                          + float(kdim) * wz)
-            u, v = finish_uv(m)
-            return scaled_mm(x_q, w_q, x_scale, w_scale, bias,
-                             out_dtype=out_dtype, lowrank_u=u, lowrank_v=v)
-        x_q, x_scale = quantize_int_mm(x2d, axis=-1)
-        u, v = finish_uv(m)
-        return scaled_mm(x_q, w_q, x_scale, w_scale, bias,
-                         out_dtype=out_dtype, lowrank_u=u, lowrank_v=v)
+            return scaled_mm_fused_act(
+                x2d, w_q, w_scale, bias, x_fmt="uint8",
+                out_dtype=out_dtype, lowrank_u=u, lowrank_v=v,
+                v_zp0=wz,
+                v_zp1=w_colsum * w_scale.reshape(1, -1) + float(kdim) * wz)
+        return scaled_mm_fused_act(x2d, w_q, w_scale, bias, x_fmt="int8",
+                                   out_dtype=out_dtype, lowrank_u=u,
+                                   lowrank_v=v)
     if mfmt.num_bits == 8:
-        x_q, x_scale = quantize_fp_mm(x2d, axis=-1, fmt=mfmt)
-        u, v = finish_uv(m)
-        return scaled_mm(x_q, w_q.astype(jnp.float8_e4m3fn), x_scale, w_scale,
-                         bias, out_dtype=out_dtype, lowrank_u=u, lowrank_v=v)
+        return scaled_mm_fused_act(
+            x2d, w_q.astype(jnp.float8_e4m3fn), w_scale, bias,
+            x_fmt=mfmt.name, out_dtype=out_dtype, lowrank_u=u, lowrank_v=v)
     # 16-bit path: bf16 multiplies, fp32 accumulate; input unquantized
     u, v = finish_uv(m)
     return bf16_scaled_mm(x2d, w_q, None, w_scale, bias,

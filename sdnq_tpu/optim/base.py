@@ -25,7 +25,9 @@ from ..tensor import QTensor, dequantize
 
 __all__ = ["QOptimizer", "OptConfig", "quantize_buffer",
            "dequantize_buffer", "update_buffer_lerp", "apply_norm_to_update",
-           "scrub_grad", "cautious_mask", "BufferQ"]
+           "scrub_grad", "cautious_mask", "BufferQ",
+           "offload_opt_state", "fetch_opt_state",
+           "cast_state_for_transfer", "cast_state_from_transfer"]
 
 # moment buffers smaller than this stay fp32 (reference: optim gate by numel)
 MIN_QUANT_BUFFER_NUMEL = 16384
@@ -111,8 +113,13 @@ def update_buffer_lerp(buf, new_value: jax.Array, beta: float, rng=None):
     return nxt, nxt
 
 
-def scrub_grad(g: jax.Array, clip: float | None) -> jax.Array:
+def scrub_grad(g: jax.Array, clip: float | None,
+               grad_scale: jax.Array | float | None = None) -> jax.Array:
+    """nan-scrub + optional AMP grad-scale divide + clip
+    (reference optim/utils.py:7-25)."""
     g = jnp.nan_to_num(g.astype(jnp.float32))
+    if grad_scale is not None:
+        g = g / jnp.asarray(grad_scale, jnp.float32)
     if clip is not None:
         norm = jnp.sqrt(jnp.sum(jnp.square(g)) + 1e-12)
         g = g * jnp.minimum(1.0, clip / norm)
@@ -143,7 +150,92 @@ def apply_norm_to_update(update: jax.Array, param_norm: jax.Array,
         return update * jnp.minimum(1.0, 1.0 / norm)
     if mode == "relative":
         return update * jnp.maximum(param_norm, 1e-3)
+    if mode == "rms_scaled":
+        # normalize update RMS to 0.2 (reference: rms w/ clip*0.2)
+        return update * (0.2 / jnp.maximum(rms, 1e-12))
+    if mode == "rms_clip_scaled":
+        # only ever shrink, to RMS <= 0.2 (reference: rms_clip w/ clip*0.2)
+        return update * jnp.minimum(0.2 / jnp.maximum(rms, 1e-12), 1.0)
+    if mode == "muon":
+        rows = update.shape[0] if update.ndim else 1
+        cols = max(1, update.size // max(rows, 1))
+        return update * (max(1.0, rows / cols) ** 0.5)
     return update
+
+
+# ---------------------------------------------------------------------------
+# Host-offload staging + transfer casting (the TPU analogue of the
+# reference's CPU offload, optim/optimizer.py:34-36 + utils.py:152-166, and
+# its 16-bit-transfer state-dict load, optimizer.py:139-207).
+# ---------------------------------------------------------------------------
+
+def _put_memory_kind(x, memory_kind: str):
+    if isinstance(x, BufferQ):
+        return BufferQ(qdata=_put_memory_kind(x.qdata, memory_kind),
+                       scale=_put_memory_kind(x.scale, memory_kind),
+                       shape=x.shape, unsigned=x.unsigned)
+    if not hasattr(x, "sharding"):
+        return x
+    try:
+        return jax.device_put(x, x.sharding.with_memory_kind(memory_kind))
+    except (ValueError, NotImplementedError, AttributeError):
+        return x  # backend without memories support (e.g. CPU): no-op
+
+
+def _map_buffers(state, fn):
+    """Apply `fn` to every moment-buffer leaf, skipping `kahan` entries
+    (they must stay on device in their bf16 storage dtype)."""
+    is_leaf = lambda x: isinstance(x, BufferQ)  # noqa: E731
+    per = [
+        st if st is None else {
+            k: (v if k == "kahan"
+                else jax.tree_util.tree_map(fn, v, is_leaf=is_leaf))
+            for k, v in st.items()
+        }
+        for st in state["per_param"]
+    ]
+    return {**state, "per_param": per}
+
+
+def offload_opt_state(state, memory_kind: str = "pinned_host"):
+    """Stage optimizer moment buffers in host memory between steps.
+
+    Moment buffers are only read/written inside the update step; parking
+    them in pinned host memory frees HBM for activations at the cost of a
+    PCIe/host transfer per step, which XLA overlaps with compute when the
+    update is donated.  Kahan buffers stay on device, mirroring the
+    reference's `key != "kahan_buffer"` exclusion (utils.py:152-160)."""
+    return _map_buffers(state, lambda a: _put_memory_kind(a, memory_kind))
+
+
+def fetch_opt_state(state):
+    """Bring offloaded buffers back to device memory."""
+    return _map_buffers(state, lambda a: _put_memory_kind(a, "device"))
+
+
+def cast_state_for_transfer(state, dtype=jnp.bfloat16):
+    """Cast fp32 moment buffers to a 16-bit transfer dtype (checkpoint /
+    host-transfer size), reversed by ``cast_state_from_transfer`` — the
+    reference's 16-bit-transfer-then-fp32-cast load path
+    (optim/optimizer.py:139-207).  Quantized (BufferQ) leaves, integer
+    leaves, and the step counter are left untouched."""
+    def cast(x):
+        if isinstance(x, BufferQ):
+            return x
+        if hasattr(x, "dtype") and x.dtype == jnp.float32 and x.ndim > 0:
+            return x.astype(dtype)
+        return x
+    return _map_buffers(state, cast)
+
+
+def cast_state_from_transfer(state):
+    def cast(x):
+        if isinstance(x, BufferQ):
+            return x
+        if hasattr(x, "dtype") and x.dtype in (jnp.bfloat16, jnp.float16):
+            return x.astype(jnp.float32)
+        return x
+    return _map_buffers(state, cast)
 
 
 def param_value(p):

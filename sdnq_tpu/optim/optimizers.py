@@ -64,7 +64,7 @@ def make_optimizer(init_param: Callable, update_param: Callable,
             states.append(st)
         return {"step": jnp.zeros((), jnp.int32), "per_param": states}
 
-    def update(grads, state, params, rng=None):
+    def update(grads, state, params, rng=None, grad_scale=None):
         step = state["step"] + 1
         rng_box = [rng]
 
@@ -85,7 +85,7 @@ def make_optimizer(init_param: Callable, update_param: Callable,
                 new_params.append(p)
                 new_states.append(st)
                 continue
-            g = scrub_grad(g, cfg.grad_clip)
+            g = scrub_grad(g, cfg.grad_clip, grad_scale)
             v = param_value(p)
             raw, st = update_param(g, dict(st), v, cfg, step, next_key())
             if cfg.use_cautious:

@@ -30,8 +30,10 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..kernels.scaled_mm import scaled_mm
-from ..quant.core import quantize_int_mm
+from ..formats import get_format
+from ..kernels.scaled_mm import scaled_mm, scaled_mm_fused_act, \
+    bf16_scaled_mm
+from ..quant.core import quantize_fp_mm, quantize_int_mm, quantize_uint_mm
 from ..tensor import QTensor, dequantize
 from ..layers import _quantized_matmul_2d, _weight_only_linear_2d
 
@@ -130,13 +132,47 @@ def apply_weight_updates(params, updates, rng=None):
 # The trainable linear op
 # ---------------------------------------------------------------------------
 
-def _dynamic_int8_mm(a: jax.Array, b_t: jax.Array,
-                     out_dtype=jnp.float32) -> jax.Array:
+def _uint8_zp_rows(b_q, b_s, b_zp, kdim):
+    """Weight-side zero-point rank-1 rows for the asymmetric GEMM
+    (the double-zero-point algebra, reference linear_uint8_dynamic.py)."""
+    colsum = jnp.sum(b_q.astype(jnp.int32), axis=-1)[None, :] \
+        .astype(jnp.float32)
+    s = b_s.reshape(1, -1)
+    z = b_zp.reshape(1, -1)
+    return z, colsum * s + float(kdim) * z
+
+
+def _dynamic_mm(a: jax.Array, b_t: jax.Array, mm_fmt: str = "int8",
+                out_dtype=jnp.float32) -> jax.Array:
     """a (M, K) fp × b_t (N, K) fp -> (M, N): both operands quantized
-    per-call (reference linear_int8_dynamic.py:82)."""
-    a_q, a_s = quantize_int_mm(a, axis=-1)
-    b_q, b_s = quantize_int_mm(b_t, axis=-1)
-    return scaled_mm(a_q, b_q, a_s, b_s, None, out_dtype=out_dtype)
+    per-call in the family of `mm_fmt` — backward GEMMs run in the layer's
+    own matmul dtype, like the reference's per-family dynamic matmuls
+    (linear_int8_dynamic.py:82, linear_uint8_dynamic.py,
+    linear_fp8_dynamic.py:105-140, linear_fp16_dynamic.py; on TPU the fp16
+    family maps to bf16 multiplies with fp32 accumulation, which needs no
+    overflow-guard scaling).  The a-side quantize runs in the fused kernel
+    prologue."""
+    f = get_format(mm_fmt)
+    a = a.astype(jnp.float32)
+    b_t = b_t.astype(jnp.float32)
+    if f.is_integer and not f.is_unsigned:
+        b_q, b_s = quantize_int_mm(b_t, axis=-1)
+        return scaled_mm_fused_act(a, b_q, b_s, None, x_fmt="int8",
+                                   out_dtype=out_dtype)
+    if f.is_integer:
+        b_q, b_s, b_zp = quantize_uint_mm(b_t, axis=-1)
+        z0, z1 = _uint8_zp_rows(b_q, b_s, b_zp, a.shape[-1])
+        return scaled_mm_fused_act(a, b_q, b_s, None, x_fmt="uint8",
+                                   out_dtype=out_dtype, v_zp0=z0, v_zp1=z1)
+    if f.num_bits == 8:
+        b_q, b_s = quantize_fp_mm(b_t, axis=-1, fmt=f)
+        return scaled_mm_fused_act(a, b_q, b_s, None, x_fmt=f.name,
+                                   out_dtype=out_dtype)
+    return bf16_scaled_mm(a, b_t, None, None, None, out_dtype=out_dtype)
+
+
+def _dynamic_int8_mm(a, b_t, out_dtype=jnp.float32):
+    return _dynamic_mm(a, b_t, "int8", out_dtype)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(4, 5))
@@ -159,9 +195,19 @@ def _train_linear_fwd(x2d, delta, qt, bias, save_q_acts,
     dtype_token = jnp.zeros((0,), x2d.dtype)
     b_marker = None if bias is None else jnp.zeros((0,), jnp.float32)
     if save_q_acts:
-        # pre-quantize along the grad-weight contraction (rows of x)
-        xq, xs = quantize_int_mm(x2d.astype(jnp.float32).T, axis=-1)
-        saved = (xq, xs)
+        # pre-quantize along the grad-weight contraction (rows of x), in
+        # the layer's own matmul-dtype family (reference saves int8 in the
+        # int8 _ckpt variant, fp8 in the fp8 one, …: linear_*_ckpt.py)
+        f = get_format(qt.meta.matmul_fmt)
+        xt = x2d.astype(jnp.float32).T
+        if f.is_integer and not f.is_unsigned:
+            saved = quantize_int_mm(xt, axis=-1)
+        elif f.is_integer:
+            saved = quantize_uint_mm(xt, axis=-1)
+        elif f.num_bits == 8:
+            saved = quantize_fp_mm(xt, axis=-1, fmt=f)
+        else:
+            saved = (xt.astype(jnp.bfloat16),)
     else:
         saved = (x2d,)
     return y, (saved, qt, b_marker, dtype_token)
@@ -171,22 +217,39 @@ def _train_linear_bwd(save_q_acts, use_quantized_matmul, res, g):
     saved, qt, b_marker, dtype_token = res
     g = g.astype(jnp.float32)
     g2d = g.reshape(-1, g.shape[-1])
+    mm_fmt = qt.meta.matmul_fmt
 
-    # grad_input = g @ W  (dynamic int8 against the dequantized weight,
-    # reference linear_int8.py:125-163)
+    # grad_input = g @ W  (dynamic GEMM in the layer's matmul dtype against
+    # the dequantized weight, reference linear_int8.py:125-163)
     w_deq = dequantize(qt, jnp.float32)
     if w_deq.ndim > 2:
         w_deq = w_deq.reshape(w_deq.shape[0], -1)
-    gx = _dynamic_int8_mm(g2d, w_deq.T)
+    gx = _dynamic_mm(g2d, w_deq.T, mm_fmt)
 
     # grad_weight = gᵀ @ x
     if save_q_acts:
-        xq, xs = saved
-        gt_q, gt_s = quantize_int_mm(g2d.T, axis=-1)
-        gw = scaled_mm(gt_q, xq, gt_s, xs, None, out_dtype=jnp.float32)
+        f = get_format(mm_fmt)
+        gt = g2d.T
+        if f.is_integer and not f.is_unsigned:
+            xq, xs = saved
+            gw = scaled_mm_fused_act(gt, xq, xs, None, x_fmt="int8",
+                                     out_dtype=jnp.float32)
+        elif f.is_integer:
+            xq, xs, xzp = saved
+            z0, z1 = _uint8_zp_rows(xq, xs, xzp, gt.shape[-1])
+            gw = scaled_mm_fused_act(gt, xq, xs, None, x_fmt="uint8",
+                                     out_dtype=jnp.float32,
+                                     v_zp0=z0, v_zp1=z1)
+        elif f.num_bits == 8:
+            xq, xs = saved
+            gw = scaled_mm_fused_act(gt, xq, xs, None, x_fmt=f.name,
+                                     out_dtype=jnp.float32)
+        else:
+            gw = bf16_scaled_mm(gt, saved[0], None, None, None,
+                                out_dtype=jnp.float32)
     else:
         x2d = saved[0].astype(jnp.float32)
-        gw = _dynamic_int8_mm(g2d.T, x2d.T)
+        gw = _dynamic_mm(g2d.T, x2d.T, mm_fmt)
     gw = gw.reshape(qt.meta.original_shape)
 
     gb = jnp.sum(g2d, axis=0) if b_marker is not None else None
@@ -230,36 +293,39 @@ def train_qlinear(x: jax.Array, w: TrainQTensor, bias=None, *,
 # custom_vjp supplies the dense grads via dynamic-int8 GEMMs.
 # ---------------------------------------------------------------------------
 
-@partial(jax.tree_util.register_dataclass, data_fields=["w"], meta_fields=[])
+@partial(jax.tree_util.register_dataclass, data_fields=["w"],
+         meta_fields=["fmt"])
 @dataclasses.dataclass
 class DynamicTensor:
     """Full-precision weight that runs its matmuls dynamically quantized
-    (the use_static_quantization=False training mode)."""
+    (the use_static_quantization=False training mode); `fmt` picks the
+    matmul-dtype family (int8/uint8/fp8/fp16→bf16)."""
     w: jax.Array
+    fmt: str = "int8"
 
     @property
     def shape(self):
         return self.w.shape
 
 
-@jax.custom_vjp
-def dynamic_qlinear_2d(x2d, w, bias):
-    y = _dynamic_int8_mm(x2d.astype(jnp.float32), w.astype(jnp.float32),
-                         out_dtype=jnp.float32)
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def dynamic_qlinear_2d(x2d, w, bias, fmt="int8"):
+    y = _dynamic_mm(x2d.astype(jnp.float32), w.astype(jnp.float32),
+                    fmt, out_dtype=jnp.float32)
     if bias is not None:
         y = y + bias.astype(jnp.float32)
     return y.astype(jnp.bfloat16)
 
 
-def _dyn_fwd(x2d, w, bias):
-    return dynamic_qlinear_2d(x2d, w, bias), (x2d, w, bias is not None)
+def _dyn_fwd(x2d, w, bias, fmt):
+    return dynamic_qlinear_2d(x2d, w, bias, fmt), (x2d, w, bias is not None)
 
 
-def _dyn_bwd(res, g):
+def _dyn_bwd(fmt, res, g):
     x2d, w, has_bias = res
     g2d = g.astype(jnp.float32)
-    gx = _dynamic_int8_mm(g2d, w.astype(jnp.float32).T)
-    gw = _dynamic_int8_mm(g2d.T, x2d.astype(jnp.float32).T)
+    gx = _dynamic_mm(g2d, w.astype(jnp.float32).T, fmt)
+    gw = _dynamic_mm(g2d.T, x2d.astype(jnp.float32).T, fmt)
     gb = jnp.sum(g2d, axis=0) if has_bias else None
     return gx.astype(x2d.dtype), gw.astype(w.dtype), gb
 
@@ -269,6 +335,8 @@ dynamic_qlinear_2d.defvjp(_dyn_fwd, _dyn_bwd)
 
 def dynamic_qlinear(x, w, bias=None):
     lead = x.shape[:-1]
+    fmt = w.fmt if isinstance(w, DynamicTensor) else "int8"
     y = dynamic_qlinear_2d(x.reshape(-1, x.shape[-1]),
-                           w.w if isinstance(w, DynamicTensor) else w, bias)
+                           w.w if isinstance(w, DynamicTensor) else w, bias,
+                           fmt)
     return y.reshape(*lead, y.shape[-1])

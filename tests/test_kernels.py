@@ -50,6 +50,132 @@ def test_scaled_mm_pallas_odd_shapes(interpret):
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-4)
 
 
+def _fused_case(m=64, k=256, o=128, seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(m, k)).astype(np.float32)
+    w = rng.integers(-127, 128, (o, k)).astype(np.int8)
+    ws = rng.uniform(0.01, 0.02, (o,)).astype(np.float32)
+    b = rng.normal(size=(o,)).astype(np.float32)
+    return x, w, ws, b
+
+
+@pytest.mark.parametrize("backend_fixture", ["xla", "interpret"])
+def test_scaled_mm_fused_act_int8(request, backend_fixture):
+    """Fused-prologue kernel == separate quantize + scaled_mm."""
+    request.getfixturevalue(backend_fixture)
+    from sdnq_tpu.kernels.scaled_mm import scaled_mm_fused_act
+    from sdnq_tpu.quant.core import quantize_int_mm
+    x, w, ws, b = _fused_case()
+    out = scaled_mm_fused_act(jnp.asarray(x), jnp.asarray(w),
+                              jnp.asarray(ws), jnp.asarray(b),
+                              x_fmt="int8", out_dtype=jnp.float32)
+    x_q, x_s = quantize_int_mm(jnp.asarray(x), axis=-1)
+    ref = (np.asarray(x_q).astype(np.int64) @ w.T.astype(np.int64)
+           * np.asarray(x_s) * ws[None] + b[None])
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-4)
+
+
+@pytest.mark.parametrize("backend_fixture", ["xla", "interpret"])
+def test_scaled_mm_fused_act_uint8_zero_points(request, backend_fixture):
+    request.getfixturevalue(backend_fixture)
+    from sdnq_tpu.kernels.scaled_mm import scaled_mm_fused_act
+    from sdnq_tpu.quant.core import quantize_uint_mm
+    rng = np.random.default_rng(3)
+    m, k, o = 64, 256, 128
+    x = rng.normal(size=(m, k)).astype(np.float32) + 0.7  # asymmetric data
+    w = rng.integers(-127, 128, (o, k)).astype(np.int8)
+    ws = rng.uniform(0.01, 0.02, (o,)).astype(np.float32)
+    wz = rng.uniform(0.1, 0.2, (o,)).astype(np.float32)
+    colsum = w.astype(np.int64).sum(axis=1).astype(np.float32)[None]
+    vz0 = wz[None]
+    vz1 = colsum * ws[None] + float(k) * wz[None]
+    out = scaled_mm_fused_act(
+        jnp.asarray(x), jnp.asarray(w), jnp.asarray(ws), None,
+        x_fmt="uint8", out_dtype=jnp.float32,
+        v_zp0=jnp.asarray(vz0), v_zp1=jnp.asarray(vz1))
+    x_q, x_s, x_zp = quantize_uint_mm(jnp.asarray(x), axis=-1)
+    x_qn, x_sn, x_zn = map(np.asarray, (x_q, x_s, x_zp))
+    # dense reference: (x_q*s+zp) @ (w*ws+wz).T
+    xd = x_qn.astype(np.float32) * x_sn + x_zn
+    wd = w.astype(np.float32) * ws[:, None] + wz[:, None]
+    ref = xd @ wd.T
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-3, atol=1e-2)
+
+
+@pytest.mark.parametrize("backend_fixture", ["xla", "interpret"])
+def test_scaled_mm_fused_act_fp8_and_svd(request, backend_fixture):
+    request.getfixturevalue(backend_fixture)
+    from sdnq_tpu.kernels.scaled_mm import scaled_mm_fused_act
+    from sdnq_tpu.quant.core import quantize_fp_mm
+    rng = np.random.default_rng(4)
+    m, k, o, r = 64, 256, 128, 8
+    x = rng.normal(size=(m, k)).astype(np.float32)
+    w8 = rng.normal(size=(o, k)).astype(np.float32)
+    w = jnp.asarray(w8).astype(jnp.float8_e4m3fn)
+    ws = rng.uniform(0.01, 0.02, (o,)).astype(np.float32)
+    u = rng.normal(size=(m, r)).astype(np.float32)
+    v = rng.normal(size=(r, o)).astype(np.float32)
+    out = scaled_mm_fused_act(
+        jnp.asarray(x), w, jnp.asarray(ws), None,
+        x_fmt="float8_e4m3fn", out_dtype=jnp.float32,
+        lowrank_u=jnp.asarray(u), lowrank_v=jnp.asarray(v))
+    x_q, x_s = quantize_fp_mm(jnp.asarray(x), axis=-1)
+    ref = (np.asarray(x_q, np.float32) @ np.asarray(w, np.float32).T
+           * np.asarray(x_s) * ws[None]) + u @ v
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=5e-3, atol=5e-2)
+
+
+@pytest.mark.parametrize("fmt_name,g", [
+    ("int4", 64),            # sg=2 per segment
+    ("int4", 16),            # fine groups: sg=8 select chain
+    ("uint4", 128),          # zero-point path, group == segment
+    ("float6_e3m2fn", 128),  # packed float decode in-kernel
+    ("float4_e2m1fn", 256),
+])
+def test_dequant_matmul_packed_pallas_lane_aligned(interpret, fmt_name, g):
+    """K%1024==0 exercises the in-kernel packed path (fori-loop unpack) —
+    float formats and fine groups no longer route to XLA."""
+    fmt = get_format(fmt_name)
+    rng = np.random.default_rng(2)
+    m, k, o = 16, 1024, 128
+    x = jnp.asarray(rng.normal(size=(m, k)).astype(np.float32))
+    ngroups = k // g
+    if fmt.is_integer:
+        q = rng.integers(int(fmt.min), int(fmt.max) + 1, (o, k))
+        qvals = jnp.asarray(q, jnp.int32)
+    else:
+        from sdnq_tpu.packing import encode_float, decode_float
+        raw = rng.uniform(fmt.min, fmt.max, (o, k)).astype(np.float32)
+        qvals = decode_float(encode_float(jnp.asarray(raw), fmt), fmt)
+        q = np.asarray(qvals)
+    scale = rng.uniform(0.01, 0.02, (o, ngroups)).astype(np.float32)
+    zp = (rng.uniform(-0.5, 0.5, (o, ngroups)).astype(np.float32)
+          if fmt.is_unsigned else None)
+    wq = pack(qvals, fmt)
+    out = dequant_matmul(x, wq, jnp.asarray(scale),
+                         None if zp is None else jnp.asarray(zp),
+                         None, fmt, g, out_dtype=jnp.float32)
+    wd = q.reshape(o, ngroups, g) * scale[..., None]
+    if zp is not None:
+        wd = wd + zp[..., None]
+    ref = np.asarray(x) @ wd.reshape(o, k).T
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)
+
+
+def test_scaled_mm_fused_act_kpad(interpret):
+    """K not a lane multiple takes the zero-pad path (symmetric only)."""
+    from sdnq_tpu.kernels.scaled_mm import scaled_mm_fused_act
+    from sdnq_tpu.quant.core import quantize_int_mm
+    x, w, ws, b = _fused_case(m=48, k=300, o=72, seed=5)
+    out = scaled_mm_fused_act(jnp.asarray(x), jnp.asarray(w),
+                              jnp.asarray(ws), jnp.asarray(b),
+                              x_fmt="int8", out_dtype=jnp.float32)
+    x_q, x_s = quantize_int_mm(jnp.asarray(x), axis=-1)
+    ref = (np.asarray(x_q).astype(np.int64) @ w.T.astype(np.int64)
+           * np.asarray(x_s) * ws[None] + b[None])
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-4)
+
+
 @pytest.mark.parametrize("backend_fixture", ["xla", "interpret"])
 @pytest.mark.parametrize("fmt_name,g", [("int8", -1), ("int8", 64),
                                         ("int4", 64), ("uint4", 64),

@@ -54,6 +54,37 @@ def test_ring_attention_causal():
     assert np.abs(np.asarray(out) - ref).max() < 0.05
 
 
+def test_ring_attention_causal_unbalanced_fallback():
+    """n % 2P != 0 uses the contiguous layout with cond-skip."""
+    mesh = create_mesh(sequence=4)
+    n = 132  # 33 per device: not zigzag-divisible
+    q, k, v = _qkv(n=n, seed=5)
+    out = ring_attention(q, k, v, mesh, matmul_dtype="int8", causal=True,
+                         out_dtype=jnp.float32)
+    ref = _ref(q, k, v, causal=True)
+    assert np.abs(np.asarray(out) - ref).max() < 0.05
+
+
+def test_ring_attention_int8_pv_off():
+    mesh = create_mesh(sequence=4)
+    q, k, v = _qkv(seed=6)
+    out = ring_attention(q, k, v, mesh, matmul_dtype="int8",
+                         quantize_pv=False, out_dtype=jnp.float32)
+    ref = _ref(q, k, v)
+    assert np.abs(np.asarray(out) - ref).max() < 0.05
+
+
+def test_ring_attention_causal_zigzag_128d():
+    """d=128 drives the Pallas block kernel path on TPU; on the CPU mesh it
+    checks the same code through the XLA block path."""
+    mesh = create_mesh(sequence=8)
+    q, k, v = _qkv(n=128, d=128, seed=7)
+    out = ring_attention(q, k, v, mesh, matmul_dtype="int8", causal=True,
+                         out_dtype=jnp.float32)
+    ref = _ref(q, k, v, causal=True)
+    assert np.abs(np.asarray(out) - ref).max() < 0.05
+
+
 def test_ulysses_matches_reference():
     from sdnq_tpu.parallel import ulysses_attention
     mesh = create_mesh(sequence=4)

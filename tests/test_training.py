@@ -58,6 +58,53 @@ def test_train_qlinear_save_quantized_activations():
     assert float(jnp.abs(g.delta).max()) > 0
 
 
+@pytest.mark.parametrize("fmt,mm", [("int8", "int8"), ("uint8", "uint8"),
+                                    ("float8_e4m3fn", "float8_e4m3fn"),
+                                    ("int8", "float16")])
+@pytest.mark.parametrize("save_q", [False, True])
+def test_backward_is_dtype_faithful_per_family(fmt, mm, save_q):
+    """Backward GEMMs run in the layer's own matmul family (reference backs
+    fp8 with fp8: linear_fp8_dynamic.py; uint8 with the double-zero-point
+    algebra: linear_uint8_dynamic.py) and stay within quantization noise of
+    dense grads."""
+    w = _w((128, 256))
+    x = _w((64, 256), seed=1, scale=0.3)
+    g_out = _w((64, 128), seed=2)
+    qt = quantize_tensor(w, fmt, matmul_fmt=mm, group_size=-1,
+                         use_quantized_matmul=True)
+    tp = TrainQTensor(qt=qt, delta=jnp.zeros((128, 256), jnp.float32))
+
+    def loss(x, tp):
+        return jnp.sum(train_qlinear(
+            x, tp, save_quantized_activations=save_q) * g_out)
+
+    gx, gtp = tgrad(loss, argnums=(0, 1))(x, tp)
+    wd = dequantize(qt, jnp.float32)
+    gx_ref = g_out @ wd
+    gw_ref = g_out.T @ x
+    rel_x = float(jnp.abs(gx - gx_ref).max() / jnp.abs(gx_ref).max())
+    rel_w = float(jnp.abs(gtp.delta - gw_ref).max() / jnp.abs(gw_ref).max())
+    tol = 0.02 if mm == "float16" else 0.06
+    assert rel_x < tol, (fmt, mm, save_q, rel_x)
+    assert rel_w < tol, (fmt, mm, save_q, rel_w)
+
+
+def test_dynamic_tensor_fmt_families():
+    from sdnq_tpu.train import DynamicTensor
+    from sdnq_tpu import qlinear
+    w = _w((64, 128))
+    x = _w((32, 128), seed=3, scale=0.3)
+    ref = x @ w.T
+    for fmt in ("int8", "uint8", "float8_e4m3fn", "float16"):
+        dt = DynamicTensor(w=w, fmt=fmt)
+        y = qlinear(x, dt)
+        rel = float(jnp.abs(y.astype(jnp.float32) - ref).max()
+                    / jnp.abs(ref).max())
+        assert rel < 0.05, (fmt, rel)
+        g = tgrad(lambda p: jnp.sum(qlinear(x, p) ** 2))(dt)
+        assert bool(jnp.isfinite(g.w).all())
+
+
 def test_convert_roundtrip():
     params = {"fc": {"weight": quantize_tensor(_w((128, 256)), "int8",
                                                use_svd=True, svd_rank=8)},
@@ -115,6 +162,76 @@ def test_newton_schulz_orthogonalizes():
     # approximately orthogonal rows
     off = gram - np.eye(64)
     assert np.abs(off).max() < 0.35
+
+
+def test_gram_newton_schulz_matches_standard():
+    """Gram-NS with the tuned schedule orthogonalizes as well as plain NS
+    (reference muon.py:270-298)."""
+    g = _w((64, 192), seed=4)
+    o = zeropower_via_newtonschulz5(g, use_gram_ns=True, dtype=jnp.float32)
+    gram = np.asarray(o @ o.T)
+    off = gram - np.eye(64)
+    assert np.abs(off).max() < 0.35, np.abs(off).max()
+    # tall input exercises the transposed path
+    g2 = _w((192, 64), seed=7)
+    o2 = zeropower_via_newtonschulz5(g2, use_gram_ns=True, dtype=jnp.float32)
+    gram2 = np.asarray(o2.T @ o2)
+    assert np.abs(gram2 - np.eye(64)).max() < 0.35
+
+
+def test_muon_adaptive_mode_reduces_loss():
+    params = {"w": _w((64, 256), scale=0.5)}
+    opt = muon(lr=5e-3, adaptive=True, quantize_state=False)
+    state = opt.init(params)
+    target = _w((64, 256), seed=6, scale=0.5)
+
+    def loss_fn(p):
+        return jnp.mean((p["w"] - target) ** 2)
+
+    losses = []
+    rng = jax.random.key(1)
+    for _ in range(10):
+        rng, k = jax.random.split(rng)
+        loss, grads = vag(loss_fn)(params)
+        params, state = opt.update(grads, state, params, rng=k)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses
+    # adaptive mode carries a v-buffer on muon params
+    st = state["per_param"][0]
+    assert st["muon"] and "v" in st
+
+
+def test_optimizer_offload_and_transfer_cast_roundtrip():
+    from sdnq_tpu.optim import (cast_state_from_transfer,
+                                cast_state_for_transfer, fetch_opt_state,
+                                offload_opt_state)
+    params = {"w": _w((256, 256)), "b": _w((256,), seed=2)}
+    opt = adamw(lr=1e-3, quantize_state=False)
+    state = opt.init(params)
+    off = offload_opt_state(state)          # no-op on CPU backend, must not
+    back = fetch_opt_state(off)             # corrupt structure either way
+    g = jax.tree_util.tree_map(jnp.ones_like, params)
+    p2, _ = opt.update(g, back, params, rng=jax.random.key(0))
+    assert jnp.isfinite(p2["w"]).all()
+
+    t = cast_state_for_transfer(state)
+    assert t["per_param"][0]["m"].dtype == jnp.bfloat16
+    r = cast_state_from_transfer(t)
+    assert r["per_param"][0]["m"].dtype == jnp.float32
+    assert r["step"].dtype == jnp.int32
+
+
+def test_grad_scale_divides_amp_gradients():
+    params = {"w": _w((64, 64))}
+    opt = adamw(lr=0.0, quantize_state=False)  # lr=0: isolate state update
+    s1 = opt.init(params)
+    s2 = opt.init(params)
+    g = {"w": jnp.full((64, 64), 8.0)}
+    _, s1 = opt.update(g, s1, params, rng=None, grad_scale=8.0)
+    gu = {"w": jnp.full((64, 64), 1.0)}
+    _, s2 = opt.update(gu, s2, params, rng=None)
+    np.testing.assert_allclose(np.asarray(s1["per_param"][0]["m"]),
+                               np.asarray(s2["per_param"][0]["m"]), rtol=1e-6)
 
 
 def test_muon_step():
