@@ -123,6 +123,10 @@ def _maybe_quantize_leaf(path, leaf, config, kinds, rng, verbose):
         return leaf
 
     kw = layer_quant_kwargs(config, path, kind)
+    from .envconfig import env_bool
+    force_mm = env_bool("SDNQ_TPU_USE_QUANTIZED_MATMUL")
+    if force_mm is not None:
+        kw["use_quantized_matmul"] = force_mm
     if kind == "linear":
         o, c = leaf.shape[-2], leaf.shape[-1]
         kw["use_quantized_matmul"] = quantized_matmul_allowed(

@@ -22,15 +22,24 @@ from .formats import (
 __all__ = ["QuantConfig"]
 
 
+def _env_field(name, default, conv=int):
+    from .envconfig import env_str
+    return dataclasses.field(
+        default_factory=lambda: (conv(env_str(name))
+                                 if env_str(name) is not None else default))
+
+
 @dataclasses.dataclass
 class QuantConfig:
     weights_dtype: str = "int8"
     quantized_matmul_dtype: str | None = None
-    hadamard_group_size: int = 256
-    group_size: int = 0
-    svd_rank: int = 32
-    svd_steps: int = 8
-    dynamic_loss_threshold: float | None = None
+    # defaults overridable by SDNQ_TPU_* env vars (see envconfig.py)
+    hadamard_group_size: int = _env_field("SDNQ_TPU_HADAMARD_GROUP_SIZE", 256)
+    group_size: int = _env_field("SDNQ_TPU_GROUP_SIZE", 0)
+    svd_rank: int = _env_field("SDNQ_TPU_SVD_RANK", 32)
+    svd_steps: int = _env_field("SDNQ_TPU_SVD_STEPS", 8)
+    dynamic_loss_threshold: float | None = _env_field(
+        "SDNQ_TPU_DYNAMIC_THRESHOLD", None, float)
     use_svd: bool = False
     use_hadamard: bool = False
     use_grad_ckpt: bool = True
@@ -40,7 +49,9 @@ class QuantConfig:
     use_quantized_matmul_conv: bool = False
     use_static_quantization: bool = True
     use_dynamic_quantization: bool = False
-    use_stochastic_rounding: bool = False
+    use_stochastic_rounding: bool = _env_field(
+        "SDNQ_TPU_STOCHASTIC_ROUNDING", False,
+        lambda v: v.lower() in ("1", "true", "yes", "on"))
     dequantize_fp32: bool = True
     add_skip_keys: bool = True
     minimum_allowed_numel: int = 16384
@@ -52,7 +63,8 @@ class QuantConfig:
     is_training: bool = False
     sdnq_version: str | None = None
     # TPU-native additions
-    dequant_dtype: str = "bfloat16"   # compute dtype for dequantized weights
+    dequant_dtype: str = _env_field(
+        "SDNQ_TPU_DEQUANT_DTYPE", "bfloat16", str)
     quant_method: str = "sdnq"
 
     def __post_init__(self):

@@ -375,7 +375,7 @@ def quantized_attention(
     smooth_k: bool = False,
     use_hadamard: bool = False,
     hadamard_group_size: int = 256,
-    matmul_dtype: str | None = "int8",
+    matmul_dtype: str | None = "default",
     pv_matmul_dtype: str | None = None,
     out_dtype=None,
 ) -> jax.Array:
@@ -392,6 +392,9 @@ def quantized_attention(
         out_dtype = query.dtype
     if scale is None:
         scale = d ** -0.5
+    if matmul_dtype == "default":
+        from ..envconfig import env_str
+        matmul_dtype = env_str("SDNQ_TPU_ATTN_MATMUL_DTYPE", "int8")
     if matmul_dtype in ("auto", "enabled", "uint8"):
         matmul_dtype = "int8"  # reference: triton_atten.py:204-207
     use_fp8 = matmul_dtype in ("fp8", "float8_e4m3fn")
@@ -458,11 +461,14 @@ def quantized_attention(
         if not do_quant_pv:
             v_q = v_q.astype(jnp.bfloat16)  # MXU-friendly P·V in-kernel
         v_in = _pad_last(v_q, dpad)
-        bm = min(512, max(8, n // max(1, n // 512)))
+        from ..envconfig import env_blocks
+        ov = env_blocks("SDNQ_TPU_ATTN_BLOCKS", 2)
+        bm = ov[0] if ov else min(512, max(8, n // max(1, n // 512)))
         bm = min(bm, n)
         while n % bm != 0:
             bm //= 2
-        bk = min(512, kn)
+        bk = ov[1] if ov else min(512, kn)
+        bk = min(bk, kn)
         while kn % bk != 0:
             bk //= 2
         out = _attn_pallas(

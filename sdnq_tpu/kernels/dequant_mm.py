@@ -28,6 +28,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .dispatch import use_pallas, pallas_interpret, kernel_backend
+from ..envconfig import env_blocks, vmem_limit_bytes
 from ..formats import Format, get_format
 from ..packing import decode_float
 
@@ -258,7 +259,8 @@ def _dequant_mm_pallas(x, wq, scale, zp, bias, *, fmt_name, code_bits,
         out_shape=jax.ShapeDtypeStruct((m, o), out_dtype),
         scratch_shapes=[pltpu.VMEM((n_k, bn_, bk_), x.dtype)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=vmem_limit_bytes()),
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0),
         interpret=pallas_interpret(),
@@ -299,12 +301,14 @@ def dequant_matmul(x: jax.Array, wq: jax.Array, scale: jax.Array,
         xk = (x.astype(jnp.bfloat16)
               if x.dtype == jnp.float32 and kernel_backend() == "pallas"
               else x)
+        ov = env_blocks("SDNQ_TPU_DEQUANT_BLOCKS", 2)
+        kw = {"bm": ov[0], "bn": ov[1]} if ov else {}
         return _dequant_mm_pallas(
             xk, wq, scale, zero_point, bias,
             fmt_name=fmt.name, code_bits=fmt.code_bits,
             code_min=int(fmt.min) if fmt.is_integer else 0,
             is_float_fmt=not fmt.is_integer, packed=packed,
-            group_size=group_size, out_dtype=jnp.dtype(out_dtype))
+            group_size=group_size, out_dtype=jnp.dtype(out_dtype), **kw)
     # XLA fallback
     from ..packing import unpack as _unpack
     if packed:

@@ -27,6 +27,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .dispatch import use_pallas, pallas_interpret
+from ..envconfig import env_blocks, env_bool, vmem_limit_bytes
 
 __all__ = ["scaled_mm", "scaled_mm_fused_act", "int8_mm", "fp8_mm",
            "bf16_scaled_mm"]
@@ -141,7 +142,7 @@ def _scaled_mm_pallas(x_q, w_q, x_scale, w_scale, bias, u=None, v=None,
         bm = bm or default
         bn = bn or default
         itemsize = x_q.dtype.itemsize
-        while (bm + bn) * bk_ * itemsize * 2 + bm * bn * 4 > 12 * 2 ** 20 \
+        while (bm + bn) * bk_ * itemsize * 2 + bm * bn * 4 > 48 * 2 ** 20 \
                 and bm > 128:
             bm //= 2
             bn = max(bn // 2, 128)
@@ -193,6 +194,7 @@ def _scaled_mm_pallas(x_q, w_q, x_scale, w_scale, bias, u=None, v=None,
         scratch_shapes=[pltpu.VMEM((bm_, bn_), acc_dtype)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=vmem_limit_bytes(),
         ),
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0),
@@ -293,14 +295,16 @@ def _fused_act_mm_pallas(x, w_q, w_scale, bias, u=None, v=None,
         qdt, qmax, acc_dtype = jnp.int8, 127.0, jnp.int32
 
     # Block policy: full-K x tile resident per i; sweep w tiles over j.
-    # VMEM: x bf16 (bm,K)*2buf + xq (bm,K) + w (bn,K)*2buf + out (bm,bn)*2.
+    # VMEM: x bf16 (bm,K)*2buf + xq (bm,K) + w (bn,K)*2buf + out (bm,bn)*2,
+    # plus ~3 (bm,K) f32 quantize temporaries in scoped vmem; v5e has
+    # 128MB total.
     if bm == 0 or bn == 0:
         bn = bn or 512
         if bm == 0:
             bm = 512
-            while bm > 64 and (bm * kdim * (2 * x.dtype.itemsize + 1)
+            while bm > 64 and (bm * kdim * (2 * x.dtype.itemsize + 13)
                                + 2 * bn * kdim * w_q.dtype.itemsize
-                               + 2 * bm * bn * 4) > 13 * 2 ** 20:
+                               + 2 * bm * bn * 4) > 80 * 2 ** 20:
                 bm //= 2
     bm_ = _pick_block(m, bm, 32)
     bn_ = _pick_block(o, bn, 128)
@@ -353,6 +357,10 @@ def _fused_act_mm_pallas(x, w_q, w_scale, bias, u=None, v=None,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+            # the quantize prologue keeps (bm, K) f32 temporaries live;
+            # v5e VMEM is 128MB — the 16MB default scoped limit is the
+            # v4-era conservative setting
+            vmem_limit_bytes=vmem_limit_bytes(),
         ),
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0),
@@ -386,9 +394,11 @@ def scaled_mm(x_q: jax.Array, w_q: jax.Array,
     if w_scale is not None:
         w_scale = w_scale.reshape(-1)
     if use_pallas() and (bias is None or bias.ndim <= 1):
+        ov = env_blocks("SDNQ_TPU_MM_BLOCKS", 3) or (0, 0, 0)
         return _scaled_mm_pallas(
             x_q, w_q, x_scale, w_scale, bias, lowrank_u, lowrank_v,
-            out_dtype=jnp.dtype(out_dtype), acc_dtype=acc_dtype)
+            out_dtype=jnp.dtype(out_dtype), acc_dtype=acc_dtype,
+            bm=ov[0], bn=ov[1], bk=ov[2])
     if w_scale is not None:
         w_scale = w_scale.reshape(1, -1)
     out = _scaled_mm_xla(x_q, w_q, x_scale, w_scale, bias, out_dtype,
@@ -425,11 +435,14 @@ def scaled_mm_fused_act(x, w_q,
     pad = (-kdim) % 128
     eligible = (use_pallas() and m >= 16 and kdim >= 256
                 and kdim + pad <= 16384
-                and not (asym and pad))  # zero-pad would skew min/max
+                and not (asym and pad)  # zero-pad would skew min/max
+                and not env_bool("SDNQ_TPU_DISABLE_FUSED_ACT", False))
     if eligible:
         if pad:
             x = jnp.pad(x, ((0, 0), (0, pad)))
             w_q = jnp.pad(w_q, ((0, 0), (0, pad)))
+        if bm == 0 and bn == 0:
+            bm, bn = env_blocks("SDNQ_TPU_FUSED_MM_BLOCKS", 2) or (0, 0)
         return _fused_act_mm_pallas(
             x, w_q, w_scale, bias, lowrank_u, lowrank_v, v_zp0, v_zp1,
             x_fmt=x_fmt, out_dtype=jnp.dtype(out_dtype), bm=bm, bn=bn)

@@ -32,7 +32,10 @@ from .tensor import QTensor, dequantize
 
 __all__ = ["qlinear", "qconv", "qembedding"]
 
-_MIN_MATMUL_ROWS = 32  # reference: layers/linear/linear_int8.py:97
+def _min_matmul_rows() -> int:
+    # reference: layers/linear/linear_int8.py:97; SDNQ_TPU_MIN_MATMUL_ROWS
+    from .envconfig import env_int
+    return env_int("SDNQ_TPU_MIN_MATMUL_ROWS", 32)
 
 
 # ---------------------------------------------------------------------------
@@ -324,7 +327,7 @@ def qlinear(x: jax.Array, w, bias: jax.Array | None = None,
     x2d, lead = _flatten_batch(x)
     o = meta.original_shape[0]
 
-    use_mm = meta.use_quantized_matmul and x2d.shape[0] >= _MIN_MATMUL_ROWS
+    use_mm = meta.use_quantized_matmul and x2d.shape[0] >= _min_matmul_rows()
     if use_mm:
         out = _quantized_matmul_2d(x2d, w, bias, out_dtype)
     else:
@@ -402,7 +405,7 @@ def _qconv_im2col(x, qt: QTensor, bias, stride, padding, dilation, out_dtype,
         dimension_numbers=_dim_numbers(nd))
     m2d, lead = _flatten_batch(patches)
     if feature_group_count > 1:
-        if qt.meta.use_quantized_matmul and m2d.shape[0] >= _MIN_MATMUL_ROWS:
+        if qt.meta.use_quantized_matmul and m2d.shape[0] >= _min_matmul_rows():
             out = _grouped_quantized_matmul(m2d, qt, bias, out_dtype,
                                             feature_group_count)
         else:
@@ -419,7 +422,7 @@ def _qconv_im2col(x, qt: QTensor, bias, stride, padding, dilation, out_dtype,
             if bias is not None:
                 out = out + bias.astype(jnp.float32)
             out = out.astype(out_dtype)
-    elif qt.meta.use_quantized_matmul and m2d.shape[0] >= _MIN_MATMUL_ROWS:
+    elif qt.meta.use_quantized_matmul and m2d.shape[0] >= _min_matmul_rows():
         out = _quantized_matmul_2d(m2d, qt, bias, out_dtype)
     else:
         out = _weight_only_linear_2d(m2d, qt, bias, out_dtype)

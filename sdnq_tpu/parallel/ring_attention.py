@@ -74,7 +74,9 @@ def ring_attention(query, key, value, mesh: Mesh, *, axis: str = "sequence",
     p_size = mesh.shape[axis]
     quantized = matmul_dtype == "int8"
     if quantize_pv is None:
-        quantize_pv = quantized
+        from ..envconfig import env_bool
+        quantize_pv = env_bool("SDNQ_TPU_RING_QUANTIZE_PV", True) \
+            and quantized
     quantize_pv = bool(quantize_pv and quantized)
     balance = causal and p_size > 1 and n % (2 * p_size) == 0
 

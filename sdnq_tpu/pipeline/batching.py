@@ -8,8 +8,16 @@ denoise trajectory completes, its image is emitted and a queued request is
 admitted into the slot mid-flight — no pipeline drain, no recompilation
 (shapes are static; per-slot timesteps are data).
 
-The device step is one jitted SPMD program (batch rides the `data` mesh
-axis across hosts); the admission logic is host-side Python between steps.
+Multi-chip/multi-host: pass a `mesh` — the slot axis is sharded over the
+`data` mesh axis with NamedSharding, so the jitted step runs SPMD with each
+device owning num_slots/P slots and admission writes land on the owning
+shard.  The admission schedule is a deterministic function of the request
+queue, so in a true multi-host (one-process-per-host) deployment every
+host replays the same decisions and the single-controller program stays
+coherent — the same contract as process-0 scheduling with broadcast, but
+with no extra collective.  Utilization accounting (`efficiency`) reports
+useful slot-steps over total slot-steps to quantify batching quality at
+any device count.
 """
 
 from __future__ import annotations
@@ -45,11 +53,23 @@ class ContinuousBatcher:
     """
 
     def __init__(self, step_fn: Callable, init_latent_fn: Callable,
-                 num_slots: int, num_steps_max: int):
+                 num_slots: int, num_steps_max: int, *,
+                 mesh=None, data_axis: str = "data"):
         self.step_fn = step_fn
         self.init_latent_fn = init_latent_fn
         self.num_slots = num_slots
         self.num_steps_max = num_steps_max
+        self.mesh = mesh
+        self.data_axis = data_axis
+        self._sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            if num_slots % mesh.shape[data_axis] != 0:
+                raise ValueError(
+                    f"num_slots={num_slots} must divide over "
+                    f"{data_axis}={mesh.shape[data_axis]}")
+            self._sharding = lambda ndim: NamedSharding(
+                mesh, PartitionSpec(data_axis, *([None] * (ndim - 1))))
         self.queue: deque[Request] = deque()
         self.slots: list[Request | None] = [None] * num_slots
         self.latents = None
@@ -57,6 +77,25 @@ class ContinuousBatcher:
         self.t_idx = np.zeros((num_slots,), np.int32)
         self.steps_left = np.zeros((num_slots,), np.int32)
         self.completed: list[Request] = []
+        self.total_slot_steps = 0
+        self.active_slot_steps = 0
+
+    @property
+    def efficiency(self) -> float:
+        """Useful slot-steps / total slot-steps over the run so far."""
+        return (self.active_slot_steps / self.total_slot_steps
+                if self.total_slot_steps else 0.0)
+
+    def _alloc(self, lat, cond):
+        shape = (self.num_slots,) + lat.shape
+        z = jnp.zeros(shape, lat.dtype)
+        zc = jax.tree_util.tree_map(
+            lambda c: jnp.zeros((self.num_slots,) + c.shape, c.dtype), cond)
+        if self._sharding is not None:
+            z = jax.device_put(z, self._sharding(z.ndim))
+            zc = jax.tree_util.tree_map(
+                lambda a: jax.device_put(a, self._sharding(a.ndim)), zc)
+        return z, zc
 
     def submit(self, req: Request):
         self.queue.append(req)
@@ -69,11 +108,7 @@ class ContinuousBatcher:
                 self.slots[s] = req
                 lat = self.init_latent_fn(req)
                 if self.latents is None:
-                    shape = (self.num_slots,) + lat.shape
-                    self.latents = jnp.zeros(shape, lat.dtype)
-                    self.cond = jax.tree_util.tree_map(
-                        lambda c: jnp.zeros((self.num_slots,) + c.shape,
-                                            c.dtype), req.cond)
+                    self.latents, self.cond = self._alloc(lat, req.cond)
                 self.latents = self.latents.at[s].set(lat)
                 self.cond = jax.tree_util.tree_map(
                     lambda full, c: full.at[s].set(c), self.cond, req.cond)
@@ -100,6 +135,8 @@ class ContinuousBatcher:
                 jnp.asarray(self.t_idx), jnp.asarray(active))
             self.t_idx += active.astype(np.int32)
             self.steps_left -= active.astype(np.int32)
+            self.total_slot_steps += self.num_slots
+            self.active_slot_steps += int(active.sum())
             for s in range(self.num_slots):
                 if self.slots[s] is not None and self.steps_left[s] <= 0:
                     req = self.slots[s]
