@@ -3,7 +3,14 @@ from .checkpoint import save_checkpoint, restore_checkpoint
 from .hf import (
     stream_state_dict, assemble_params, load_and_quantize_state_dict,
 )
+from .keymaps import (
+    llama_key_map, clip_text_key_map, sd_unet_key_map,
+    llama_config_from_hf, clip_config_from_hf, load_llama, load_clip_text,
+)
 
 __all__ = ["save_quantized", "load_quantized", "save_checkpoint",
            "restore_checkpoint", "stream_state_dict", "assemble_params",
-           "load_and_quantize_state_dict"]
+           "load_and_quantize_state_dict",
+           "llama_key_map", "clip_text_key_map", "sd_unet_key_map",
+           "llama_config_from_hf", "clip_config_from_hf",
+           "load_llama", "load_clip_text"]

@@ -85,13 +85,16 @@ def _rope_tables(positions, head_dim, theta):
 
 
 def _apply_rope(x, cos, sin):
-    # x (B, H, N, D); cos/sin (B or 1, N, D/2)
-    x2 = x.astype(jnp.float32).reshape(*x.shape[:-1], -1, 2)
+    """rotate_half convention (transformers LlamaRotaryEmbedding): the head
+    dim splits into two halves — real HF Llama checkpoints then load with
+    no q/k row permutation.  x (B, H, N, D); cos/sin (B or 1, N, D/2)."""
+    xf = x.astype(jnp.float32)
+    d2 = xf.shape[-1] // 2
+    x1, x2 = xf[..., :d2], xf[..., d2:]
     c = cos[:, None, :, :]
     s = sin[:, None, :, :]
-    out = jnp.stack([x2[..., 0] * c - x2[..., 1] * s,
-                     x2[..., 0] * s + x2[..., 1] * c], axis=-1)
-    return out.reshape(x.shape).astype(x.dtype)
+    out = jnp.concatenate([x1 * c - x2 * s, x2 * c + x1 * s], axis=-1)
+    return out.astype(x.dtype)
 
 
 def _attn_with_cache(a, x, cfg, positions, cache, layer_idx, attn_cfg):
