@@ -29,6 +29,10 @@ def main():
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--fmt", type=str, default="int8")
     ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--staged", action="store_true",
+                    help="four separately-jitted stages (Flux-scale configs "
+                         "whose single jit exceeds remote-compile limits)")
+    ap.add_argument("--skip-bf16", action="store_true")
     args = ap.parse_args()
 
     hd = args.hidden // args.heads
@@ -52,15 +56,25 @@ def main():
     pooled = jnp.ones((args.batch, cfg.vec_dim), jnp.bfloat16)
     freqs = make_rope_freqs(cfg, args.txt, (side, side))
 
-    def run(p, attn):
-        return jax.jit(lambda img: dit_forward(
-            p, img, txt, t, pooled, cfg, guidance=t, freqs=freqs,
-            attn_config=attn))
+    if args.staged:
+        from sdnq_tpu.models import make_staged_dit_forward
+
+        def run(p, attn):
+            fwd = make_staged_dit_forward(cfg, attn)
+            return lambda img: fwd(p, img, txt, t, pooled, guidance=t,
+                                   freqs=freqs)
+    else:
+        def run(p, attn):
+            return jax.jit(lambda img: dit_forward(
+                p, img, txt, t, pooled, cfg, guidance=t, freqs=freqs,
+                attn_config=attn))
 
     params_s = stack_dit_blocks(params)
-    t_bf16 = timeit(run(params_s, None), img, steps=args.steps)
-    print(f"bf16:    {t_bf16*1e3:8.2f} ms/step "
-          f"({1/t_bf16:.2f} steps/s)", flush=True)
+    t_bf16 = None
+    if not args.skip_bf16:
+        t_bf16 = timeit(run(params_s, None), img, steps=args.steps)
+        print(f"bf16:    {t_bf16*1e3:8.2f} ms/step "
+              f"({1/t_bf16:.2f} steps/s)", flush=True)
 
     qp, _ = quantize_model(
         params, QuantConfig(weights_dtype=args.fmt,
@@ -68,8 +82,9 @@ def main():
         arch="FluxTransformer2DModel")
     qp = stack_dit_blocks(qp)
     t_q = timeit(run(qp, {"matmul_dtype": "int8"}), img, steps=args.steps)
-    print(f"{args.fmt}: {t_q*1e3:8.2f} ms/step ({1/t_q:.2f} steps/s)  "
-          f"{t_bf16/t_q:.2f}x bf16", flush=True)
+    vs = f"  {t_bf16/t_q:.2f}x bf16" if t_bf16 else ""
+    print(f"{args.fmt}: {t_q*1e3:8.2f} ms/step ({1/t_q:.2f} steps/s)"
+          f"{vs}", flush=True)
 
 
 if __name__ == "__main__":

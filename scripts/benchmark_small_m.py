@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Memory-bound (small-M) weight-only benchmark — the regime weight-only
+quantization exists for: at inference batch sizes the weight read dominates
+and k-bit weights cut HBM traffic by 16/k vs bf16.
+
+Sweeps M in {1, 16, 128, 512} x formats {bf16 baseline, int8, int4, uint4,
+float6_e3m2fn} on an (O=8192, K=4096) layer and reports effective tokens/s
+(rows/s) and the speedup vs the bf16 dense linear.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scripts.bench_common import timeit
+from sdnq_tpu import quantize_tensor, qlinear
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--o", type=int, default=8192)
+    ap.add_argument("--k", type=int, default=4096)
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--fmts", type=str,
+                    default="int8,int4,uint4,float6_e3m2fn")
+    ap.add_argument("--ms", type=str, default="1,16,128,512")
+    args = ap.parse_args()
+
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.normal(size=(args.o, args.k)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(args.o,)).astype(np.float32))
+    wb = w.astype(jnp.bfloat16)
+    bb = b.astype(jnp.bfloat16)
+
+    fmts = args.fmts.split(",")
+    ms = [int(m) for m in args.ms.split(",")]
+    qts = {f: quantize_tensor(w, f) for f in fmts}
+
+    print(f"weight ({args.o}, {args.k});  tokens/s = M/step-time")
+    header = f"{'M':>6} {'bf16':>12}" + "".join(f"{f:>18}" for f in fmts)
+    print(header, flush=True)
+    for m in ms:
+        x = jnp.asarray(rng.normal(size=(m, args.k)).astype(np.float32)) \
+            .astype(jnp.bfloat16)
+
+        base = jax.jit(lambda x: x @ wb.T + bb)
+        t0 = timeit(base, x, steps=args.steps)
+        row = f"{m:>6} {m/t0:>12.3e}"
+        for f in fmts:
+            qt = qts[f]
+            fn = jax.jit(lambda x, qt=qt: qlinear(x, qt, bb))
+            try:
+                t = timeit(fn, x, steps=args.steps)
+                row += f"{m/t:>12.3e} {t0/t:>4.2f}x"
+            except Exception as e:  # noqa: BLE001
+                row += f"{'FAIL':>18}"
+                print(f"  {f} M={m}: {str(e)[:80]}")
+        print(row, flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,6 +1,6 @@
 from .dit import (
     DiTConfig, init_dit, dit_forward, make_rope_freqs, stack_dit_blocks,
-    FLUX_DEV_CONFIG, FLUX_TINY_CONFIG,
+    make_staged_dit_forward, FLUX_DEV_CONFIG, FLUX_TINY_CONFIG,
 )
 from .unet import (
     UNetConfig, SD15_CONFIG, SDXL_CONFIG, UNET_TINY_CONFIG,
@@ -21,7 +21,7 @@ from .text_encoder import (
 
 __all__ = [
     "DiTConfig", "init_dit", "dit_forward", "make_rope_freqs",
-    "stack_dit_blocks",
+    "stack_dit_blocks", "make_staged_dit_forward",
     "FLUX_DEV_CONFIG", "FLUX_TINY_CONFIG",
     "UNetConfig", "SD15_CONFIG", "SDXL_CONFIG", "UNET_TINY_CONFIG",
     "init_unet", "unet_forward",

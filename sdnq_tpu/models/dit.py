@@ -26,7 +26,8 @@ from .common import (
     silu, split_heads, timestep_embedding,
 )
 
-__all__ = ["DiTConfig", "init_dit", "dit_forward", "FLUX_DEV_CONFIG",
+__all__ = ["DiTConfig", "init_dit", "dit_forward",
+           "make_staged_dit_forward", "FLUX_DEV_CONFIG",
            "FLUX_TINY_CONFIG"]
 
 
@@ -297,6 +298,84 @@ def dit_forward(params: Params, img: jax.Array, txt: jax.Array,
 def _vec_mlp(p, x):
     h = qlinear(x, p["fc1"]["weight"], p["fc1"].get("bias"))
     return qlinear(silu(h), p["fc2"]["weight"], p["fc2"].get("bias"))
+
+
+def make_staged_dit_forward(cfg: DiTConfig, attn_config: dict | None = None):
+    """Flux-scale forward as FOUR separately-jitted stages (embed, double
+    scan, single scan, head) instead of one whole-model jit.
+
+    Whole-model jits of Flux-sized configs exceed remote-compile session
+    limits on tunneled TPU setups; four smaller programs compile
+    independently (and cache independently), at the cost of ~4 dispatches
+    per step — negligible against a Flux-sized step time.  Params must be
+    stack_dit_blocks()-stacked so each scan stage traces one block."""
+    acfg = attn_config
+
+    @jax.jit
+    def embed(p_embed, img, txt, timesteps, pooled, guidance):
+        img = qlinear(img, p_embed["x_embedder"]["weight"],
+                      p_embed["x_embedder"].get("bias"))
+        txt = qlinear(txt, p_embed["context_embedder"]["weight"],
+                      p_embed["context_embedder"].get("bias"))
+        vec = _vec_mlp(p_embed["time_in"],
+                       timestep_embedding(timesteps * 1000.0, 256))
+        if cfg.guidance_embed and guidance is not None:
+            vec = vec + _vec_mlp(p_embed["guidance_in"],
+                                 timestep_embedding(guidance * 1000.0, 256))
+        vec = vec + _vec_mlp(p_embed["vector_in"], pooled)
+        return img, txt, vec.astype(img.dtype)
+
+    @jax.jit
+    def run_double(tb, img, txt, vec, freqs):
+        def dbody(carry, blk):
+            i, t = carry
+            return _double_block(blk, i, t, vec, freqs, cfg, acfg), None
+        if isinstance(tb, dict) and "first" in tb:
+            img, txt = _double_block(tb["first"], img, txt, vec, freqs,
+                                     cfg, acfg)
+            tb = tb["rest"]
+        (img, txt), _ = jax.lax.scan(dbody, (img, txt), tb)
+        return img, txt
+
+    @jax.jit
+    def run_single(sb, x, vec, freqs):
+        def sbody(h, blk):
+            return _single_block(blk, h, vec, freqs, cfg, acfg), None
+        if isinstance(sb, dict) and "first" in sb:
+            x = _single_block(sb["first"], x, vec, freqs, cfg, acfg)
+            sb = sb["rest"]
+        x, _ = jax.lax.scan(sbody, x, sb)
+        return x
+
+    @jax.jit
+    def head(p_head, x, txt, vec):
+        img = x[:, txt.shape[1]:]
+        shift, scale = _modulation(p_head["norm_out"], vec, 2)
+        img = layer_norm(img) * (1 + scale) + shift
+        return qlinear(img, p_head["proj_out"]["weight"],
+                       p_head["proj_out"].get("bias"))
+
+    def forward(params, img, txt, timesteps, pooled, guidance=None,
+                freqs=None):
+        if freqs is None:
+            n_img = img.shape[1]
+            side = int(round(n_img ** 0.5))
+            freqs = make_rope_freqs(cfg, txt.shape[1],
+                                    (side, n_img // side))
+        p_embed = {k: params[k] for k in
+                   ("x_embedder", "context_embedder", "time_in",
+                    "vector_in", "guidance_in") if k in params}
+        img, txt, vec = embed(p_embed, img, txt, timesteps, pooled,
+                              guidance)
+        img, txt = run_double(params["transformer_blocks"], img, txt, vec,
+                              freqs)
+        x = jnp.concatenate([txt, img], axis=1)
+        x = run_single(params["single_transformer_blocks"], x, vec, freqs)
+        p_head = {"norm_out": params["norm_out"],
+                  "proj_out": params["proj_out"]}
+        return head(p_head, x, txt, vec)
+
+    return forward
 
 
 def stack_dit_blocks(params: Params) -> Params:

@@ -113,6 +113,26 @@ def test_stacked_quantized_blocks():
                                rtol=1e-3)
 
 
+def test_staged_forward_matches_single_jit():
+    """make_staged_dit_forward (the tunnel-safe Flux-scale execution mode)
+    is numerically identical to the one-jit forward."""
+    from sdnq_tpu.models import make_staged_dit_forward, stack_dit_blocks
+    cfg = FLUX_TINY_CONFIG
+    p = stack_dit_blocks(init_dit(jax.random.key(0), cfg))
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.normal(size=(1, 64, cfg.in_channels))
+                      .astype(np.float32))
+    txt = jnp.asarray(rng.normal(size=(1, 16, cfg.txt_dim))
+                      .astype(np.float32))
+    t = jnp.full((1,), 0.5)
+    pooled = jnp.ones((1, cfg.vec_dim))
+    freqs = make_rope_freqs(cfg, 16, (8, 8))
+    ref = dit_forward(p, img, txt, t, pooled, cfg, guidance=t, freqs=freqs)
+    staged = make_staged_dit_forward(cfg)(p, img, txt, t, pooled,
+                                          guidance=t, freqs=freqs)
+    assert float(jnp.abs(ref - staged).max()) < 1e-4
+
+
 def test_dynamic_quantization_model_level():
     """Dynamic MSE-ladder selection across a whole model records per-layer
     format decisions in the config (reference quantizer.py:382-391)."""
