@@ -39,6 +39,23 @@ def timeit(fn, *args, steps=20, warmup=1):
     return (time.perf_counter() - t0) / steps
 
 
+def timeit_chained(fn, x, steps=10, inner=32):
+    """Per-op time for sub-millisecond ops: run `inner` data-dependent
+    iterations of fn inside ONE jitted scan, so the axon tunnel's
+    ~0.6-1 ms per-dispatch floor amortizes away.  The carry is nudged by
+    a runtime-scalar function of the output, which XLA cannot fold, so
+    iterations serialize and the weight is re-read from HBM each step."""
+    def body(c, _):
+        y = fn(c)
+        c = c * (1 + 1e-30 * jnp.sum(y).astype(jnp.float32)).astype(c.dtype)
+        return c, ()
+
+    prog = jax.jit(
+        lambda x0: jax.lax.scan(body, x0, None, length=inner)[0])
+    t = timeit(prog, x, steps=steps)
+    return t / inner
+
+
 def run_path(name: str, fn, *args, flops: float, steps=20):
     """Time one path; a failing path reports 0 like the reference."""
     try:

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from scripts.bench_common import timeit
+from scripts.bench_common import timeit_chained
 from sdnq_tpu import quantize_tensor, qlinear
 
 
@@ -49,14 +49,18 @@ def main():
         x = jnp.asarray(rng.normal(size=(m, args.k)).astype(np.float32)) \
             .astype(jnp.bfloat16)
 
-        base = jax.jit(lambda x: x @ wb.T + bb)
-        t0 = timeit(base, x, steps=args.steps)
+        # sub-ms ops through the axon tunnel hit a ~0.8 ms dispatch
+        # floor; chain `inner` data-dependent calls inside one jit so
+        # the per-op time reflects the kernel, not the tunnel.
+        inner = max(8, min(64, (1 << 22) // (m * args.k)))
+        t0 = timeit_chained(lambda x: x @ wb.T + bb, x,
+                            steps=args.steps, inner=inner)
         row = f"{m:>6} {m/t0:>12.3e}"
         for f in fmts:
             qt = qts[f]
-            fn = jax.jit(lambda x, qt=qt: qlinear(x, qt, bb))
             try:
-                t = timeit(fn, x, steps=args.steps)
+                t = timeit_chained(lambda x, qt=qt: qlinear(x, qt, bb), x,
+                                   steps=args.steps, inner=inner)
                 row += f"{m/t:>12.3e} {t0/t:>4.2f}x"
             except Exception as e:  # noqa: BLE001
                 row += f"{'FAIL':>18}"

@@ -59,17 +59,8 @@ def _mm_kernel(x_ref, w_ref, xs_ref, ws_ref, bias_ref, u_ref, v_ref,
                has_bias, has_uv):
     k = pl.program_id(2)
 
-    @pl.when(k == 0)
-    def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    acc_ref[:] += jax.lax.dot_general(
-        x_ref[:], w_ref[:], (((1,), (1,)), ((), ())),
-        preferred_element_type=acc_dtype)
-
-    @pl.when(k == n_k - 1)
-    def _():
-        out = acc_ref[:].astype(jnp.float32)
+    def epilogue(acc):
+        out = acc.astype(jnp.float32)
         if has_xs:
             out = out * xs_ref[:].astype(jnp.float32)          # (BM, 1)
         if has_ws:
@@ -89,6 +80,27 @@ def _mm_kernel(x_ref, w_ref, xs_ref, ws_ref, bias_ref, u_ref, v_ref,
                 precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32)
         out_ref[:] = out.astype(out_ref.dtype)
+
+    if n_k == 1:
+        # single K step: no accumulator scratch round-trip (its zero-init
+        # + read-modify-write passes cost ~25% of the per-step time at the
+        # deep-K default blocks)
+        epilogue(jax.lax.dot_general(
+            x_ref[:], w_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=acc_dtype))
+        return
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jax.lax.dot_general(
+        x_ref[:], w_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=acc_dtype)
+
+    @pl.when(k == n_k - 1)
+    def _():
+        epilogue(acc_ref[:])
 
 
 def _pick_block(dim: int, preferred: int, align: int) -> int:
@@ -220,35 +232,45 @@ def _fused_act_mm_kernel(x_ref, w_ref, ws_ref, bias_ref, u_ref, v_ref,
                          xq_ref, xs_ref, rs_ref, zp_ref, *, qmax, acc_dtype,
                          has_ws, has_bias, has_uv, asym, fuse_fp8):
     j = pl.program_id(1)
+    bm, kdim = x_ref.shape
+    # quantize in row chunks: (rc, K) f32 temporaries must fit scoped vmem.
+    # rc is a power of two so it tiles any power-of-two bm exactly.
+    rc = 128
+    while rc * 2 <= bm and rc * 2 * kdim * 16 <= 24 * 2 ** 20:
+        rc *= 2
+    rc = min(rc, bm)
 
     @pl.when(j == 0)
     def _():
-        x = x_ref[:].astype(jnp.float32)
-        if asym:
-            # asymmetric per-row against the signed range: the int8 MXU
-            # sees x_i8 with x = x_i8*scale + zp  (quant/core.py
-            # quantize_uint_mm); the zero-point folds become two rank-1
-            # epilogue terms built from in-kernel row stats.
-            xmin = jnp.min(x, axis=1, keepdims=True)
-            xmax = jnp.max(x, axis=1, keepdims=True)
-            scale = jnp.maximum((xmax - xmin) / (2.0 * qmax + 1.0),
-                                2.0 ** -126)
-            zp = xmin + scale * (qmax + 1.0)
-            q = jnp.clip(jnp.round((x - zp) / scale), -qmax - 1.0, qmax)
-            xq_ref[:] = q.astype(xq_ref.dtype)
-            xs_ref[:] = scale
-            rs_ref[:] = jnp.sum(q, axis=1, keepdims=True) * scale
-            zp_ref[:] = zp
-        else:
-            amax = jnp.max(jnp.abs(x), axis=1, keepdims=True)
-            scale = jnp.maximum(amax / qmax, 2.0 ** -126)
-            if fuse_fp8:
-                xq_ref[:] = jnp.clip(x / scale, -qmax, qmax) \
-                    .astype(xq_ref.dtype)
+        for r0 in range(0, bm, rc):
+            x = x_ref[r0:r0 + rc, :].astype(jnp.float32)
+            if asym:
+                # asymmetric per-row against the signed range: the int8 MXU
+                # sees x_i8 with x = x_i8*scale + zp  (quant/core.py
+                # quantize_uint_mm); the zero-point folds become two rank-1
+                # epilogue terms built from in-kernel row stats.
+                xmin = jnp.min(x, axis=1, keepdims=True)
+                xmax = jnp.max(x, axis=1, keepdims=True)
+                scale = jnp.maximum((xmax - xmin) / (2.0 * qmax + 1.0),
+                                    2.0 ** -126)
+                zp = xmin + scale * (qmax + 1.0)
+                q = jnp.clip(jnp.round((x - zp) / scale), -qmax - 1.0, qmax)
+                xq_ref[r0:r0 + rc, :] = q.astype(xq_ref.dtype)
+                xs_ref[r0:r0 + rc, :] = scale
+                rs_ref[r0:r0 + rc, :] = \
+                    jnp.sum(q, axis=1, keepdims=True) * scale
+                zp_ref[r0:r0 + rc, :] = zp
             else:
-                xq_ref[:] = jnp.clip(jnp.round(x / scale),
-                                     -qmax - 1.0, qmax).astype(xq_ref.dtype)
-            xs_ref[:] = scale
+                amax = jnp.max(jnp.abs(x), axis=1, keepdims=True)
+                scale = jnp.maximum(amax / qmax, 2.0 ** -126)
+                if fuse_fp8:
+                    xq_ref[r0:r0 + rc, :] = \
+                        jnp.clip(x / scale, -qmax, qmax).astype(xq_ref.dtype)
+                else:
+                    xq_ref[r0:r0 + rc, :] = \
+                        jnp.clip(jnp.round(x / scale), -qmax - 1.0, qmax) \
+                        .astype(xq_ref.dtype)
+                xs_ref[r0:r0 + rc, :] = scale
 
     acc = jax.lax.dot_general(
         xq_ref[:], w_ref[:], (((1,), (1,)), ((), ())),

@@ -14,6 +14,10 @@ from .llm import (
     LLMConfig, LLM_TINY_CONFIG, init_llm, llm_forward, generate,
     stack_llm_blocks,
 )
+from .moe import (
+    MoEConfig, MOE_TINY_CONFIG, init_moe, moe_ffn, quantize_moe,
+    shard_moe,
+)
 from .text_encoder import (
     CLIPConfig, T5Config, CLIP_TINY_CONFIG, T5_TINY_CONFIG,
     init_clip, clip_encode, init_t5, t5_encode,
@@ -31,4 +35,6 @@ __all__ = [
     "init_clip", "clip_encode", "init_t5", "t5_encode",
     "LLMConfig", "LLM_TINY_CONFIG", "init_llm", "llm_forward", "generate",
     "stack_llm_blocks",
+    "MoEConfig", "MOE_TINY_CONFIG", "init_moe", "moe_ffn", "quantize_moe",
+    "shard_moe",
 ]
