@@ -12,6 +12,7 @@ tests can monkeypatch them.
 | SDNQ_TPU_MM_BLOCKS           | "bm,bn,bk" for the scaled-mm kernel | auto |
 | SDNQ_TPU_FUSED_MM_BLOCKS     | "bm,bn" for the fused-act kernel    | auto |
 | SDNQ_TPU_DEQUANT_BLOCKS      | "bm,bn" for the dequant-mm kernel   | auto |
+| SDNQ_TPU_DEQUANT_MATERIALIZE_ROWS | M >= this: weight-only matmuls materialize via XLA (0=never) | 4096 |
 | SDNQ_TPU_ATTN_BLOCKS         | "bm,bk" for the attention kernel    | auto |
 | SDNQ_TPU_DISABLE_FUSED_ACT   | 1 = use the two-pass quantize path  | 0 |
 | SDNQ_TPU_VMEM_LIMIT_MB       | Mosaic scoped-vmem limit (MB)       | 100 |

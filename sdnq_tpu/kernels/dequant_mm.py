@@ -61,7 +61,7 @@ def _dequant_mm_kernel(x_ref, wq_ref, scale_ref, zp_ref, bias_ref, out_ref,
                        wdeq_ref, *, packed: bool, code_bits: int,
                        code_min: int, is_float_fmt: bool, fmt_name: str,
                        g: int, bn: int, bk: int, n_k: int, has_zp: bool,
-                       has_bias: bool):
+                       has_bias: bool, unroll: bool):
     i = pl.program_id(1)
 
     # Unpack + dequantize the (BN, K) weight tile ONCE per output-column
@@ -73,14 +73,15 @@ def _dequant_mm_kernel(x_ref, wq_ref, scale_ref, zp_ref, bias_ref, out_ref,
         if packed:
             # Segment-major layout: segment kt of the row lives in bit
             # position kt of every byte plane — unpack is pure lane-wise
-            # shift/mask, no reshape (packing.py docstring).  The segment
-            # loop is a *sequential* fori_loop writing through a 3D scratch
-            # indexed on the untiled leading axis: each iteration's decode
-            # temporaries are transient (an unrolled python loop keeps all
-            # 8 segments' temporaries live in scoped VMEM at once, which
-            # blew the 16MB budget for float decode / fine groups — the
-            # reason those were routed to XLA before).
-            def unpack_seg(kt, _):
+            # shift/mask, no reshape (packing.py docstring).  Two loop
+            # flavours: a statically *unrolled* python loop (Mosaic
+            # software-pipelines it; ~1.6x the throughput of the
+            # sequential version on v5e) when the per-segment decode
+            # temporaries of all 8 segments fit scoped VMEM at the chosen
+            # BN, else a *sequential* fori_loop writing through the 3D
+            # scratch on its untiled leading axis so only one segment's
+            # temporaries are live at a time (float decode / fine groups).
+            def decode_seg(kt):
                 codes = None
                 for j in range(code_bits):
                     plane = wq_ref[:, j, :].astype(jnp.int32)  # (BN, K/8)
@@ -95,10 +96,21 @@ def _dequant_mm_kernel(x_ref, wq_ref, scale_ref, zp_ref, bias_ref, out_ref,
                 w = vals * _expand_seg(scale_ref[kt], sg, bn, bk)
                 if has_zp:
                     w = w + _expand_seg(zp_ref[kt], sg, bn, bk)
-                wdeq_ref[kt] = w.astype(wdeq_ref.dtype)
-                return 0
+                return w
 
-            jax.lax.fori_loop(0, n_k, unpack_seg, 0)
+            if unroll:
+                # 2D scratch, static lane slices (round-1 codegen — Mosaic
+                # pipelines the whole unpack; 123 vs 93 TF for int4/M=16K)
+                for kt in range(n_k):
+                    wdeq_ref[:, kt * bk:(kt + 1) * bk] = \
+                        decode_seg(kt).astype(wdeq_ref.dtype)
+            else:
+                # sequential: dynamic indexing is only provable on the
+                # untiled leading axis of a 3D scratch
+                def body(kt, c):
+                    wdeq_ref[kt] = decode_seg(kt).astype(wdeq_ref.dtype)
+                    return c
+                jax.lax.fori_loop(0, n_k, body, 0)
         else:
             for kt in range(n_k):
                 k0 = kt * bk
@@ -108,13 +120,14 @@ def _dequant_mm_kernel(x_ref, wq_ref, scale_ref, zp_ref, bias_ref, out_ref,
                 w = vals * _broadcast_groups(scale_ref, gi, sg, g, bn, bk)
                 if has_zp:
                     w = w + _broadcast_groups(zp_ref, gi, sg, g, bn, bk)
-                wdeq_ref[kt] = w.astype(wdeq_ref.dtype)
+                wdeq_ref[:, k0:k0 + bk] = w.astype(wdeq_ref.dtype)
 
     acc = None
     for kt in range(n_k):
         k0 = kt * bk
+        wtile = (wdeq_ref[:, k0:k0 + bk] if unroll else wdeq_ref[kt])
         part = jax.lax.dot_general(
-            x_ref[:, k0:k0 + bk], wdeq_ref[kt],
+            x_ref[:, k0:k0 + bk], wtile,
             (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
         acc = part if acc is None else acc + part
 
@@ -159,6 +172,47 @@ def _choose_k_tile(kdim: int, g: int, preferred: int = 512) -> int:
     return 0
 
 
+def _plan_blocks(m, o, kdim, x_itemsize, code_bits, packed, has_zp,
+                 is_float_fmt, g, bm, bn, bk):
+    """Block sizes + segment-loop flavour for the kernel.
+
+    Full-K rows are resident: bound block sizes by the VMEM budget.
+    Besides the packed bytes and the dequantized-weight scratch (BN, K),
+    the unpack/dequant body keeps (BN, BK)-wide temporaries alive: int32
+    codes, f32 values, the broadcast scale (and zero-point / float-decode
+    intermediates).  Returns (bm, bn, bk, n_k, unroll) or None if the
+    geometry can't tile."""
+    if packed:
+        bk_ = kdim // 8  # one bit-plane segment per K step
+        n_k = 8
+    else:
+        bk_ = _choose_k_tile(kdim, g, bk)
+        n_k = kdim // bk_ if bk_ else 0
+    if bk_ <= 0:
+        return None
+    x_row = kdim * x_itemsize
+    # Per-segment unpack temporaries (live-range estimate, calibrated on
+    # v5e): ~12 B/value for the int decode chain, +8 with a zero-point,
+    # +8 for the float decode's extra intermediates.
+    seg_temp = (kdim // 8) * (12 + (8 if has_zp else 0)
+                              + (8 if is_float_fmt else 0)) if packed else 0
+    w_row = ((code_bits * kdim // 8) if packed else kdim) \
+        + kdim * x_itemsize + seg_temp
+    bm_ = _pick_block(m, bm, 8)
+    while bm_ > 8 and bm_ * x_row > _TILE_BUDGET // 2:
+        bm_ //= 2
+    # larger BN shrinks the number of full-M sweeps (x HBM refetches)
+    bn_ = _pick_block(o, bn, 128)
+    while bn_ > 128 and bn_ * w_row > 3 * _TILE_BUDGET // 2:
+        bn_ //= 2
+    # Unroll the segment loop (Mosaic software-pipelines it — measured
+    # 123 vs 75 TF for int4 at M=16K) when all segments' live temporaries
+    # fit half the scoped-VMEM limit at this BN; else sequential fori.
+    unroll = (not packed) or (
+        bn_ * n_k * seg_temp < vmem_limit_bytes() // 2)
+    return bm_, bn_, bk_, n_k, unroll
+
+
 @functools.partial(jax.jit, static_argnames=(
     "fmt_name", "code_bits", "code_min", "is_float_fmt", "packed",
     "group_size", "out_dtype", "bm", "bn", "bk"))
@@ -168,36 +222,10 @@ def _dequant_mm_pallas(x, wq, scale, zp, bias, *, fmt_name, code_bits,
     m, kdim = x.shape
     o = wq.shape[0]
     g = group_size if group_size > 0 else kdim
-    if packed:
-        bk_ = kdim // 8  # one bit-plane segment per K step
-        n_k = 8
-    else:
-        bk_ = _choose_k_tile(kdim, g, bk)
-        n_k = kdim // bk_ if bk_ else 0
-    assert bk_ > 0, "caller must pre-check tiling feasibility"
-
-    # Full-K rows are resident: bound block sizes by the VMEM budget.
-    # Besides the packed bytes and the dequantized-weight scratch (BN, K),
-    # the unpack/dequant body keeps (BN, BK)-wide temporaries alive: int32
-    # codes, f32 values, the broadcast scale (and zero-point / float-decode
-    # intermediates) — all must fit the 16MB scoped VMEM.
-    has_zp_est = zp is not None
-    x_row = kdim * x.dtype.itemsize
-    # packed unpack temporaries are per-iteration transient now (sequential
-    # fori_loop): budget one segment's int32 planes + f32 decode values
-    temp_row = (kdim // 8) * 4 * (code_bits + 4
-                                  + (4 if has_zp_est else 0)
-                                  + (6 if is_float_fmt else 0)) \
-        if packed else 0
-    w_row = ((code_bits * kdim // 8) if packed else kdim) \
-        + kdim * x.dtype.itemsize + temp_row
-    bm_ = _pick_block(m, bm, 8)
-    while bm_ > 8 and bm_ * x_row > _TILE_BUDGET // 2:
-        bm_ //= 2
-    # larger BN shrinks the number of full-M sweeps (x HBM refetches)
-    bn_ = _pick_block(o, bn, 128)
-    while bn_ > 128 and bn_ * w_row > 3 * _TILE_BUDGET // 2:
-        bn_ //= 2
+    plan = _plan_blocks(m, o, kdim, x.dtype.itemsize, code_bits, packed,
+                        zp is not None, is_float_fmt, g, bm, bn, bk)
+    assert plan is not None, "caller must pre-check tiling feasibility"
+    bm_, bn_, bk_, n_k, unroll = plan
     n_i, n_j = pl.cdiv(m, bm_), pl.cdiv(o, bn_)
     n_groups = scale.shape[-1]
 
@@ -236,7 +264,8 @@ def _dequant_mm_pallas(x, wq, scale, zp, bias, *, fmt_name, code_bits,
     kernel = functools.partial(
         _dequant_mm_kernel, packed=packed, code_bits=code_bits,
         code_min=code_min, is_float_fmt=is_float_fmt, fmt_name=fmt_name,
-        g=g, bn=bn_, bk=bk_, n_k=n_k, has_zp=has_zp, has_bias=has_bias)
+        g=g, bn=bn_, bk=bk_, n_k=n_k, has_zp=has_zp, has_bias=has_bias,
+        unroll=unroll)
 
     flops = 2 * m * o * kdim
     bytes_accessed = (m * kdim * x.dtype.itemsize
@@ -257,7 +286,8 @@ def _dequant_mm_pallas(x, wq, scale, zp, bias, *, fmt_name, code_bits,
         out_specs=pl.BlockSpec((bm_, bn_), lambda j, i: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, o), out_dtype),
-        scratch_shapes=[pltpu.VMEM((n_k, bn_, bk_), x.dtype)],
+        scratch_shapes=[pltpu.VMEM(
+            (bn_, n_k * bk_) if unroll else (n_k, bn_, bk_), x.dtype)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=vmem_limit_bytes()),
@@ -292,6 +322,16 @@ def dequant_matmul(x: jax.Array, wq: jax.Array, scale: jax.Array,
         pallas_ok = (kdim % 1024 == 0 and kdim <= _MAX_K
                      and (g % segw == 0 or segw % g == 0)
                      and sg <= 64)
+        # Compute-bound shapes run faster through the XLA materialize path
+        # (~bf16 dot rate: 124 TF vs 68-123 TF in-kernel measured at
+        # M=16K — the float decode and sub-128 group-scale broadcasts are
+        # VPU-bound); the fused kernel's 4-8x smaller weight read only
+        # pays at small M where HBM dominates.  Threshold is tunable:
+        # SDNQ_TPU_DEQUANT_MATERIALIZE_ROWS (0 disables rerouting).
+        from ..envconfig import env_int
+        mat_rows = env_int("SDNQ_TPU_DEQUANT_MATERIALIZE_ROWS", 4096)
+        if pallas_ok and mat_rows > 0 and m >= mat_rows:
+            pallas_ok = False
     else:
         pallas_ok = kdim % 8 == 0 and _choose_k_tile(kdim, g) > 0
     if use_pallas() and pallas_ok:

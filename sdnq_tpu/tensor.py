@@ -239,6 +239,15 @@ def quantize_tensor(
         grouped, fmt, axis=red_axes, rng=rng if use_stochastic_rounding else None)
 
     quantized_shape = tuple(q.shape)
+    if (fmt.name == "float16" and use_quantized_matmul and not re_quantize
+            and not fmt.is_packed):
+        # TPU has no fp16 ALU: the MXU multiplies these weights in bf16,
+        # and a per-call f16->bf16 conversion of the stored tensor runs at
+        # ~1/3 the GEMM rate on v5e (f16 is not a native VPU type).  Store
+        # what the MXU executes.  Numerics are unchanged on the matmul
+        # path (the cast happened anyway); only the <32-row dequantize
+        # bailout sees bf16- instead of f16-rounded values.
+        q = q.astype(jnp.bfloat16)
     if fmt.is_packed:
         lead = q.shape[0]
         sr_bits = None

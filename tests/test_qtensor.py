@@ -298,3 +298,26 @@ def test_qlinear_under_jit_and_grad_nondiff_wrt_weight():
     assert jnp.isfinite(v)
     g = jax.grad(lambda x: f(x, qt))(x)
     assert g.shape == x.shape
+
+
+def test_packed_storage_is_bitplane_uint8():
+    """Packed formats must store bit-plane uint8 bytes, never raw int32
+    codes (regression: a mis-gated packing branch once left uint4 qdata as
+    unpacked int32, tripling memory and breaking the packed kernel)."""
+    for fmt, g, bits in [("uint4", 32, 4), ("int4", 64, 4),
+                         ("int2", 16, 2), ("float6_e3m2fn", 64, 6)]:
+        qt = quantize_tensor(_w((64, 256)), fmt, group_size=g)
+        assert qt.qdata.dtype == jnp.uint8, (fmt, qt.qdata.dtype)
+        assert qt.qdata.size == 64 * bits * 256 // 8, fmt
+
+
+def test_fp16_matmul_storage_is_bf16():
+    """The fp16 quantized-matmul family stores bf16 on TPU (no fp16 ALU;
+    the MXU multiplies in bf16 either way — storing f16 costs a per-call
+    conversion at ~1/3 the GEMM rate, measured 47 vs 151 TF on v5e)."""
+    qt = quantize_tensor(_w((64, 256)), "fp16", use_quantized_matmul=True,
+                         group_size=-1)
+    assert qt.qdata.dtype == jnp.bfloat16
+    # weight-only fp16 keeps the f16 grid (higher-precision dequant)
+    qt2 = quantize_tensor(_w((64, 256)), "fp16")
+    assert qt2.qdata.dtype == jnp.float16
