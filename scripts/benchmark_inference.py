@@ -27,6 +27,9 @@ def main():
     ap.add_argument("--hadamard", action="store_true")
     ap.add_argument("--svd", action="store_true")
     ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--mm-fmts", type=str,
+                    default="int8,uint8,float8_e4m3fn,fp16")
+    ap.add_argument("--wo-fmts", type=str, default="int8,int4,uint4,fp6,int2")
     args = ap.parse_args()
 
     x, w, b, flops = make_linear_inputs(args.m, args.n, args.k)
@@ -38,7 +41,7 @@ def main():
     bf16 = run_path("bf16 baseline", base, x, flops=flops, steps=args.steps)
 
     # quantized matmul paths (reference table rows 15-18)
-    for fmt in ["int8", "uint8", "float8_e4m3fn", "fp16"]:
+    for fmt in [f for f in args.mm_fmts.split(",") if f]:
         qt = quantize_tensor(
             w, fmt, use_quantized_matmul=True, group_size=-1,
             use_hadamard=args.hadamard, use_svd=args.svd)
@@ -48,7 +51,7 @@ def main():
                  steps=args.steps)
 
     # weight-only (fused dequant) paths
-    for fmt in ["int8", "int4", "uint4", "fp6", "int2"]:
+    for fmt in [f for f in args.wo_fmts.split(",") if f]:
         qt = quantize_tensor(w, fmt, use_hadamard=args.hadamard,
                              use_svd=args.svd)
         f = jax.jit(lambda x, qt=qt: qlinear(x, qt, b,

@@ -40,7 +40,15 @@ def main():
 
     fmts = args.fmts.split(",")
     ms = [int(m) for m in args.ms.split(",")]
-    qts = {f: quantize_tensor(w, f) for f in fmts}
+
+    def make(spec):
+        # "fmt" or "fmt:groupsize"
+        if ":" in spec:
+            f, g = spec.split(":")
+            return quantize_tensor(w, f, group_size=int(g))
+        return quantize_tensor(w, spec)
+
+    qts = {f: make(f) for f in fmts}
 
     print(f"weight ({args.o}, {args.k});  tokens/s = M/step-time")
     header = f"{'M':>6} {'bf16':>12}" + "".join(f"{f:>18}" for f in fmts)

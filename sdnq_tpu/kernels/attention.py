@@ -36,7 +36,24 @@ from ..quant.hadamard import (
     get_hadamard_group_size, next_power_of_2, rotate_hadamard,
 )
 
-__all__ = ["quantized_attention", "flash_attention_block"]
+__all__ = ["quantized_attention", "flash_attention_block", "quantize_kv"]
+
+
+def quantize_kv(k: "jax.Array", v: "jax.Array | None" = None):
+    """Per-token int8 quantization of K/V rows for the quantized KV cache.
+
+    k/v: (B, KH, N, D).  Returns (k_q int8, k_scale (B, KH, N)[, v_q,
+    v_scale]) — the representation ``quantized_attention(kv_scales=...)``
+    consumes directly, so cached tokens are quantized once at insert time
+    instead of every decode step (the reference re-quantizes K/V per call:
+    triton_atten.py:195-238).
+    """
+    from ..quant.core import quantize_int_mm
+    k_q, k_s = quantize_int_mm(k.astype(jnp.float32), axis=-1)
+    if v is None:
+        return k_q, k_s[..., 0]
+    v_q, v_s = quantize_int_mm(v.astype(jnp.float32), axis=-1)
+    return k_q, k_s[..., 0], v_q, v_s[..., 0]
 
 _NEG_INF = -1e30
 
@@ -378,12 +395,21 @@ def quantized_attention(
     matmul_dtype: str | None = "default",
     pv_matmul_dtype: str | None = None,
     out_dtype=None,
+    kv_scales: tuple | None = None,
 ) -> jax.Array:
     """Drop-in quantized scaled-dot-product attention.
 
     query/key/value: (B, H, N, D) — torch SDPA layout (reference parity).
     ``matmul_dtype`` in {"int8", None/"none"/"disabled"}; ``pv_matmul_dtype``
     optionally "int8" to run P·V quantized too.
+
+    ``kv_scales=(k_scale, v_scale)`` marks key/value as PRE-quantized int8
+    with per-token scales of shape (B, KH, KN) — the quantized-KV-cache
+    path (see models/llm.py): the cache stores int8 rows + scales and the
+    kernel consumes them directly, so nothing re-quantizes per decode step.
+    ``v_scale`` may be None (bf16 V, int8 K).  smooth_k / Hadamard are
+    skipped for pre-quantized KV (they would have to be baked in at cache
+    insert time).
     """
     b, h, n, d = query.shape
     _, kh, kn, _ = key.shape
@@ -392,20 +418,25 @@ def quantized_attention(
         out_dtype = query.dtype
     if scale is None:
         scale = d ** -0.5
+    kv_prequant = kv_scales is not None
     if matmul_dtype == "default":
         from ..envconfig import env_str
         matmul_dtype = env_str("SDNQ_TPU_ATTN_MATMUL_DTYPE", "int8")
     if matmul_dtype in ("auto", "enabled", "uint8"):
         matmul_dtype = "int8"  # reference: triton_atten.py:204-207
+    if kv_prequant:
+        matmul_dtype = "int8"
+        smooth_k = False
+        use_hadamard = False
     use_fp8 = matmul_dtype in ("fp8", "float8_e4m3fn")
     do_quant = matmul_dtype not in (None, "none", "no", "disabled")
-    do_quant_pv = pv_matmul_dtype not in (None, "auto", "none", "no",
-                                          "disabled")
+    do_quant_pv = (kv_prequant and kv_scales[1] is not None) or \
+        pv_matmul_dtype not in (None, "auto", "none", "no", "disabled")
     q_per_kv = h // kh
 
     qf = query.astype(jnp.float32)
-    kf = key.astype(jnp.float32)
-    vf = value.astype(jnp.float32)
+    kf = key if kv_prequant else key.astype(jnp.float32)
+    vf = value if kv_prequant and do_quant_pv else value.astype(jnp.float32)
     if smooth_k:
         # K mean-centering: softmax is invariant to per-row constant shifts
         # of the logits (reference :210-215)
@@ -432,7 +463,15 @@ def quantized_attention(
         if mask_is_bool:
             mask = mask.astype(jnp.int8)
 
-    if do_quant:
+    if kv_prequant:
+        q_q, q_s = quantize_int_mm(qf, axis=-1)
+        q_scale = q_s.reshape(b * h, n) * scale
+        k_q = kf
+        k_scale = kv_scales[0].reshape(b * kh, kn)
+        v_q = vf
+        v_scale = (kv_scales[1].reshape(b * kh, kn)
+                   if do_quant_pv else None)
+    elif do_quant:
         if use_fp8:
             from ..quant.core import quantize_fp_mm
             q_q, q_s = quantize_fp_mm(qf, axis=-1)
@@ -445,7 +484,9 @@ def quantized_attention(
     else:
         q_q, k_q = qf, kf
         q_scale = k_scale = None
-    if do_quant_pv:
+    if kv_prequant:
+        pass
+    elif do_quant_pv:
         v_q, v_s = quantize_int_mm(vf, axis=-1)
         v_scale = v_s.reshape(b * kh, kn)
     else:

@@ -297,10 +297,163 @@ def _dequant_mm_pallas(x, wq, scale, zp, bias, *, fmt_name, code_bits,
     )(x, wq_in, scale_in, zp_in3, bias_in)
 
 
+# ---------------------------------------------------------------------------
+# Group-dot kernel for the half-split low-bit layout.
+#
+# The bit-plane kernel above dequantizes every value on the VPU
+# (decode + scale-broadcast + multiply ~ 10-30 ops/value).  On v5e the
+# VPU:HBM ratio is ~2.4 ops per HBM byte, so that path is VPU-bound and a
+# 4-bit weight reads 4x less but decodes 10x slower than bf16 — measured
+# 0.12x bf16 tokens/s at M=1.  This kernel gets the decode down to ~2 VPU
+# ops/value for 2/4-bit integers:
+#   * half-split layout: field t of byte b is code[t*C/p + b] — decoding
+#     one field of the whole tile is a single shift+mask (packing.py);
+#   * codes go to the MXU raw (bf16); the group-wise scale is applied to
+#     the (BM, BN) *partial dot* of each group ("group-dot" mode, needs
+#     lane-aligned groups g % 128 == 0), or via an expanded-scale array
+#     built by an f32 MXU matmul against a 0/1 group-expansion matrix E
+#     ("ematrix" mode, any g) — either way no per-value VPU scale chain;
+#   * zero-points collapse to one rank-G dot: sum_g xsum[m,g]*zp[o,g],
+#     with xsum itself computed on the MXU as x @ E^T.
+# ---------------------------------------------------------------------------
+
+def _groupdot_kernel(x_ref, wq_ref, scale_t_ref, zp_t_ref, bias_ref, e_ref,
+                     out_ref, wdec_ref, *, code_bits: int, code_min: int,
+                     g: int, n_groups: int, kdim: int, has_zp: bool,
+                     has_bias: bool, groupdot: bool):
+    i = pl.program_id(1)
+    p = 8 // code_bits
+    seg = kdim // p
+    mask = (1 << code_bits) - 1
+
+    @pl.when(i == 0)
+    def _():
+        b = wq_ref[:].astype(jnp.int32)            # (BN, kdim/p) bytes
+        if groupdot:
+            # raw unsigned codes — the offset-binary code_min is folded
+            # into the zero-point dot (code_min*scale acts as a group
+            # zero-point), saving one VPU add per value
+            for t in range(p):
+                codes = (b >> (code_bits * t)) & mask
+                wdec_ref[:, t * seg:(t + 1) * seg] = \
+                    codes.astype(wdec_ref.dtype)
+        else:
+            # expanded scale/zp rows via f32 MXU dot against E (G, K)
+            exp_s = jax.lax.dot_general(
+                jnp.transpose(scale_t_ref[:]).astype(jnp.float32), e_ref[:],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)     # (BN, K)
+            if has_zp:
+                exp_z = jax.lax.dot_general(
+                    jnp.transpose(zp_t_ref[:]).astype(jnp.float32),
+                    e_ref[:], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            for t in range(p):
+                codes = ((b >> (code_bits * t)) & mask) + code_min
+                w = codes.astype(jnp.float32) * exp_s[:, t * seg:(t + 1) * seg]
+                if has_zp:
+                    w = w + exp_z[:, t * seg:(t + 1) * seg]
+                wdec_ref[:, t * seg:(t + 1) * seg] = w.astype(wdec_ref.dtype)
+
+    if groupdot:
+        acc = None
+        for gi in range(n_groups):
+            a = gi * g
+            part = jax.lax.dot_general(
+                x_ref[:, a:a + g], wdec_ref[:, a:a + g],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)      # (BM, BN)
+            term = part * scale_t_ref[gi:gi + 1, :].astype(jnp.float32)
+            acc = term if acc is None else acc + term
+        # zero-point dot carries both the real zero-points and the folded
+        # offset-binary code_min (zp_t_ref is pre-combined by the caller)
+        xsum = jax.lax.dot_general(
+            x_ref[:], e_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)           # (BM, G)
+        acc = acc + jax.lax.dot_general(
+            xsum, zp_t_ref[:].astype(jnp.float32),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    else:
+        acc = jax.lax.dot_general(
+            x_ref[:], wdec_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    if has_bias:
+        acc = acc + bias_ref[:].astype(jnp.float32)
+    out_ref[:] = acc.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "code_bits", "code_min", "group_size", "out_dtype", "bm", "bn"))
+def _groupdot_mm_pallas(x, wq, scale, zp, bias, *, code_bits, code_min,
+                        group_size, out_dtype, bm=512, bn=256):
+    m, kdim = x.shape
+    o = wq.shape[0]
+    g = group_size if group_size > 0 else kdim
+    n_groups = kdim // g
+    groupdot = g % 128 == 0 and n_groups <= 64
+    has_zp = zp is not None
+    has_bias = bias is not None
+
+    bm_ = _pick_block(m, bm, 8)
+    bn_ = _pick_block(o, bn, 128)
+    n_i, n_j = pl.cdiv(m, bm_), pl.cdiv(o, bn_)
+
+    scale_t = jnp.transpose(scale).astype(jnp.float32)      # (G, O)
+    zp_t = (jnp.transpose(zp).astype(jnp.float32) if has_zp
+            else jnp.zeros_like(scale_t))
+    if groupdot:
+        # fold the offset-binary code_min into the zero-point rows:
+        # value = (code_u + code_min)*s + zp  ->  code_u*s + (zp+code_min*s)
+        zp_t = zp_t + float(code_min) * scale_t
+    bias_in = (bias.reshape(1, -1) if has_bias
+               else jnp.zeros((1, o), jnp.float32))
+    e = (jnp.arange(kdim)[None, :] // g
+         == jnp.arange(n_groups)[:, None]).astype(jnp.float32)  # (G, K)
+
+    kernel = functools.partial(
+        _groupdot_kernel, code_bits=code_bits, code_min=code_min, g=g,
+        n_groups=n_groups, kdim=kdim, has_zp=has_zp, has_bias=has_bias,
+        groupdot=groupdot)
+
+    flops = 2 * m * o * kdim
+    bytes_accessed = (m * kdim * x.dtype.itemsize + wq.size
+                      + m * o * jnp.dtype(out_dtype).itemsize)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_j, n_i),  # j outer: decoded weight tile reused across i
+        in_specs=[
+            pl.BlockSpec((bm_, kdim), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn_, kdim * code_bits // 8), lambda j, i: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_groups, bn_), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_groups, bn_), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn_), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_groups, kdim), lambda j, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm_, bn_), lambda j, i: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, o), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bn_, kdim), x.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=vmem_limit_bytes()),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0),
+        interpret=pallas_interpret(),
+    )(x, wq, scale_t, zp_t, bias_in, e)
+
+
 def dequant_matmul(x: jax.Array, wq: jax.Array, scale: jax.Array,
                    zero_point: jax.Array | None, bias: jax.Array | None,
                    fmt: Format, group_size: int,
-                   out_dtype=jnp.bfloat16) -> jax.Array:
+                   out_dtype=jnp.bfloat16,
+                   pack_layout: str = "bitplane") -> jax.Array:
     """y = x @ dequant(wq).T + bias with fused unpack/dequant.
 
     x: (M, K) bf16/fp32.  wq: packed uint8 (O, code_bits*K/8) or int8 (O, K).
@@ -311,6 +464,35 @@ def dequant_matmul(x: jax.Array, wq: jax.Array, scale: jax.Array,
     o = wq.shape[0]
     packed = fmt.is_packed
     g = group_size if group_size > 0 else kdim
+    if packed and pack_layout == "halfsplit":
+        from ..envconfig import env_int
+        mat_rows = env_int("SDNQ_TPU_DEQUANT_MATERIALIZE_ROWS", 4096)
+        p = 8 // fmt.code_bits
+        seg = kdim // p
+        ok = (seg % 128 == 0 and kdim <= _MAX_K and kdim % g == 0
+              and kdim // g <= 512 and g % (p if p else 1) == 0)
+        if use_pallas() and ok and not (mat_rows > 0 and m >= mat_rows):
+            xk = (x.astype(jnp.bfloat16)
+                  if x.dtype == jnp.float32 and kernel_backend() == "pallas"
+                  else x)
+            ov = env_blocks("SDNQ_TPU_DEQUANT_BLOCKS", 2)
+            kw = {"bm": ov[0], "bn": ov[1]} if ov else {}
+            return _groupdot_mm_pallas(
+                xk, wq, scale, zero_point, bias,
+                code_bits=fmt.code_bits, code_min=int(fmt.min),
+                group_size=group_size, out_dtype=jnp.dtype(out_dtype), **kw)
+        # XLA materialize fallback
+        from ..packing import unpack as _unpack
+        vals = _unpack(wq, fmt, kdim, dtype=jnp.float32, layout="halfsplit")
+        vals = vals.reshape(o, kdim // g, g) * scale[..., None]
+        if zero_point is not None:
+            vals = vals + zero_point[..., None]
+        w = vals.reshape(o, kdim).astype(x.dtype)
+        out = jax.lax.dot_general(x, w, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        if bias is not None:
+            out = out + bias.astype(jnp.float32)
+        return out.astype(out_dtype)
     if packed:
         # segment tiling: segments of K/8 values must align with groups and
         # with the 128-lane layout.  The sequential-fori unpack keeps only

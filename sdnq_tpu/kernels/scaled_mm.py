@@ -319,13 +319,12 @@ def _fused_act_mm_pallas(x, w_q, w_scale, bias, u=None, v=None,
     # Block policy: full-K x tile resident per i; sweep w tiles over j.
     # VMEM: x bf16 (bm,K)*2buf + xq (bm,K) + w (bn,K)*2buf + out (bm,bn)*2,
     # plus ~3 (bm,K) f32 quantize temporaries in scoped vmem; v5e has
-    # 128MB total.  (1024,1024) measured fastest at the reference shape
-    # (173.6 vs 160.2 TF for (512,512) in-harness); shrink only when the
-    # resident estimate exceeds ~100MB.
+    # 128MB total.  (512,512) measured fastest in the canonical harness
+    # (240 vs 215 TF for (1024,1024) at the reference shape, solo chip).
     if bm == 0 or bn == 0:
-        bn = bn or 1024
+        bn = bn or 512
         if bm == 0:
-            bm = 1024
+            bm = 512
             while bm > 64 and (bm * kdim * (2 * x.dtype.itemsize + 13)
                                + 2 * bn * kdim * w_q.dtype.itemsize
                                + 2 * bm * bn * 4) > 100 * 2 ** 20:

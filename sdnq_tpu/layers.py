@@ -293,7 +293,8 @@ def _weight_only_linear_2d(x2d, qt: QTensor, bias, out_dtype):
     if not meta.is_packed and qd.ndim > 2:
         qd = qd.reshape(qd.shape[0], -1)
     out = dequant_matmul(x2d, qd, scale, zp, bias_flat,
-                         meta.format, g_eff, out_dtype=out_dtype)
+                         meta.format, g_eff, out_dtype=out_dtype,
+                         pack_layout=meta.pack_layout)
     if extra is not None:
         out = (out.astype(jnp.float32) + extra.astype(jnp.float32)) \
             .astype(out_dtype)

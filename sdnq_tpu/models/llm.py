@@ -32,6 +32,10 @@ class LLMConfig:
     ff_dim: int = 11008
     rope_theta: float = 10000.0
     tie_embeddings: bool = False
+    # "bfloat16" or "int8": int8 stores per-token-quantized K/V rows +
+    # scales (2x smaller cache; the flash kernel consumes them directly —
+    # a serving capability the reference lacks entirely)
+    kv_cache_dtype: str = "bfloat16"
 
 
 LLM_TINY_CONFIG = LLMConfig(vocab_size=1000, hidden_size=128, num_layers=2,
@@ -107,19 +111,33 @@ def _attn_with_cache(a, x, cfg, positions, cache, layer_idx, attn_cfg):
     q = _apply_rope(q, cos, sin)
     k = _apply_rope(k, cos, sin)
 
+    kv_scales = None
     if cache is not None:
-        ck, cv, cache_len = cache
-        ck = jax.lax.dynamic_update_slice_in_dim(
-            ck, k.astype(ck.dtype), cache_len, axis=2)
-        cv = jax.lax.dynamic_update_slice_in_dim(
-            cv, v.astype(cv.dtype), cache_len, axis=2)
-        k_full, v_full = ck, cv
+        upd = lambda c, new: jax.lax.dynamic_update_slice_in_dim(  # noqa: E731
+            c, new.astype(c.dtype), cache_len, axis=2)
+        if len(cache) == 5:
+            # quantized KV cache: int8 rows + per-token scales, quantized
+            # once at insert time (quantize_kv) — decode steps re-read
+            # half the bytes and skip the per-call K/V quantize pass
+            from ..kernels.attention import quantize_kv
+            ck, cks, cv, cvs, cache_len = cache
+            k_q, k_s, v_q, v_s = quantize_kv(k, v)
+            ck, cv = upd(ck, k_q), upd(cv, v_q)
+            cks = upd(cks[..., None], k_s[..., None])[..., 0]
+            cvs = upd(cvs[..., None], v_s[..., None])[..., 0]
+            k_full, v_full = ck, cv
+            kv_scales = (cks, cvs)
+            new_cache = (ck, cks, cv, cvs, cache_len + n)
+        else:
+            ck, cv, cache_len = cache
+            ck, cv = upd(ck, k), upd(cv, v)
+            k_full, v_full = ck, cv
+            new_cache = (ck, cv, cache_len + n)
         kn = ck.shape[2]
         key_pos = jnp.arange(kn)[None, :]
         q_pos = positions
         mask = (key_pos[:, None, :] <= q_pos[..., None]) \
             [:, None]                                     # (B,1,N,KN)
-        new_cache = (ck, cv, cache_len + n)
     else:
         k_full, v_full = k, v
         mask = None
@@ -129,6 +147,9 @@ def _attn_with_cache(a, x, cfg, positions, cache, layer_idx, attn_cfg):
     if reps > 1:
         k_full = jnp.repeat(k_full, reps, axis=1)
         v_full = jnp.repeat(v_full, reps, axis=1)
+        if kv_scales is not None:
+            kv_scales = tuple(jnp.repeat(s, reps, axis=1)
+                              for s in kv_scales)
 
     from ..kernels.attention import quantized_attention
     acfg = attn_cfg or {}
@@ -138,7 +159,8 @@ def _attn_with_cache(a, x, cfg, positions, cache, layer_idx, attn_cfg):
         is_causal=(cache is None),
         matmul_dtype=acfg.get("matmul_dtype"),
         pv_matmul_dtype=acfg.get("pv_matmul_dtype"),
-        out_dtype=x.dtype)
+        out_dtype=x.dtype,
+        kv_scales=kv_scales)
     out = out.transpose(0, 2, 1, 3).reshape(b, n, h * hd)
     return qlinear(out, a["o_proj"]["weight"]), new_cache
 
@@ -177,11 +199,21 @@ def llm_forward(params: Params, input_ids, cfg: LLMConfig, *,
     return logits, (new_caches if caches is not None else None)
 
 
-def init_cache(cfg: LLMConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
-    return [(jnp.zeros((batch, cfg.num_kv_heads, max_len, cfg.head_dim),
-                       dtype),
-             jnp.zeros((batch, cfg.num_kv_heads, max_len, cfg.head_dim),
-                       dtype), 0)
+def init_cache(cfg: LLMConfig, batch: int, max_len: int, dtype=None):
+    """Static KV cache.  dtype None follows cfg.kv_cache_dtype; "int8"
+    caches are 5-tuples (k_q, k_scale, v_q, v_scale, len) with int8 rows +
+    per-token f32 scales (2x smaller than bf16 + negligible scale bytes)."""
+    if dtype is None:
+        dtype = cfg.kv_cache_dtype
+    shape = (batch, cfg.num_kv_heads, max_len, cfg.head_dim)
+    sshape = (batch, cfg.num_kv_heads, max_len)
+    if jnp.dtype(dtype) == jnp.dtype(jnp.int8):
+        return [(jnp.zeros(shape, jnp.int8), jnp.zeros(sshape, jnp.float32),
+                 jnp.zeros(shape, jnp.int8), jnp.zeros(sshape, jnp.float32),
+                 0)
+                for _ in range(cfg.num_layers)]
+    return [(jnp.zeros(shape, jnp.dtype(dtype)),
+             jnp.zeros(shape, jnp.dtype(dtype)), 0)
             for _ in range(cfg.num_layers)]
 
 
@@ -193,7 +225,7 @@ def generate(params, prompt_ids, cfg: LLMConfig, *, max_new_tokens: int = 16,
     b, n0 = prompt_ids.shape
     max_len = n0 + max_new_tokens
     caches = init_cache(cfg, b, max_len)
-    caches = [(k, v, jnp.asarray(l, jnp.int32)) for k, v, l in caches]
+    caches = [c[:-1] + (jnp.asarray(c[-1], jnp.int32),) for c in caches]
 
     prefill = jax.jit(lambda ids, caches: llm_forward(
         params, ids, cfg, caches=caches, attn_config=attn_config))

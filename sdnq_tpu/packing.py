@@ -48,6 +48,8 @@ __all__ = [
     "pad_to_multiple",
     "pack_codes",
     "unpack_codes",
+    "pack_codes_halfsplit",
+    "unpack_codes_halfsplit",
     "encode_float",
     "decode_float",
     "pack",
@@ -80,6 +82,47 @@ def pack_codes(codes: jax.Array, num_bits: int) -> jax.Array:
             byte = byte | (bits[..., i, :] << i)
         planes.append(byte.astype(jnp.uint8))        # (..., C/8)
     return jnp.concatenate(planes, axis=-1)
+
+
+def pack_codes_halfsplit(codes: jax.Array, num_bits: int) -> jax.Array:
+    """Half-split byte layout for widths that divide 8 (2 and 4 bit).
+
+    byte b packs codes ``[b, b + C/p, b + 2C/p, ...]`` in ascending bit
+    fields, p = 8/num_bits values per byte: field t of byte b is
+    ``code[t * C/p + b]``.  Decoding field t of the whole row is ONE
+    shift+mask over the byte array — ~1 VPU op per value, vs
+    ~2*num_bits for the bit-plane layout.  This is the *matmul layout*
+    for low-bit integer weights: on v5e the VPU:HBM ratio (~2.4 ops per
+    HBM byte) makes the decode, not the read, the small-batch bottleneck,
+    so the weight-only kernel's win hinges on minimal per-value decode
+    (see kernels/dequant_mm.py group-dot path).  The reference's
+    prepare_weight_for_matmul plays the same storage-vs-matmul-layout
+    role (quant_utils.py:187).
+
+    codes: (..., C) non-negative ints < 2**num_bits, C % p == 0.
+    Returns uint8 (..., C * num_bits / 8).
+    """
+    assert num_bits in (2, 4), num_bits
+    p = 8 // num_bits
+    c = codes.shape[-1]
+    assert c % p == 0, (c, p)
+    seg = c // p
+    parts = codes.astype(jnp.uint32).reshape(*codes.shape[:-1], p, seg)
+    byte = jnp.zeros(codes.shape[:-1] + (seg,), jnp.uint32)
+    for t in range(p):
+        byte = byte | (parts[..., t, :] << (num_bits * t))
+    return byte.astype(jnp.uint8)
+
+
+def unpack_codes_halfsplit(packed: jax.Array, num_bits: int,
+                           c: int, out_dtype=jnp.int32) -> jax.Array:
+    """Inverse of :func:`pack_codes_halfsplit`."""
+    p = 8 // num_bits
+    seg = c // p
+    b = packed.astype(out_dtype)
+    mask = (1 << num_bits) - 1
+    parts = [(b >> (num_bits * t)) & mask for t in range(p)]
+    return jnp.concatenate(parts, axis=-1)[..., :c]
 
 
 def unpack_codes(packed: jax.Array, num_bits: int, c: int,
@@ -181,12 +224,15 @@ def decode_float(code: jax.Array, fmt: Format,
 # Top-level pack/unpack used by the quantizer.
 # ---------------------------------------------------------------------------
 
-def pack(q: jax.Array, fmt: Format, sr_bits: jax.Array | None = None) -> jax.Array:
-    """Pack quantized values into the bit-plane representation.
+def pack(q: jax.Array, fmt: Format, sr_bits: jax.Array | None = None,
+         layout: str = "bitplane") -> jax.Array:
+    """Pack quantized values into the packed representation.
 
     For integers `q` holds (possibly negative) quantized integers; they are
     stored offset-binary.  For floats `q` holds fp32 values in-range; they
-    are encoded through the minifloat codec first.
+    are encoded through the minifloat codec first.  ``layout``:
+    "bitplane" (any width) or "halfsplit" (2/4-bit ints — the cheap-decode
+    matmul layout).
     """
     if not fmt.is_packed:
         raise ValueError(f"{fmt.name} is not a packed format")
@@ -194,16 +240,22 @@ def pack(q: jax.Array, fmt: Format, sr_bits: jax.Array | None = None) -> jax.Arr
         codes = q.astype(jnp.int32) - jnp.int32(int(fmt.min))
     else:
         codes = encode_float(q, fmt, sr_bits=sr_bits)
+    if layout == "halfsplit":
+        return pack_codes_halfsplit(codes, fmt.code_bits)
     return pack_codes(codes, fmt.code_bits)
 
 
-def unpack(packed: jax.Array, fmt: Format, c: int, dtype=jnp.float32) -> jax.Array:
-    """Unpack bit-planes back to quantized values.
+def unpack(packed: jax.Array, fmt: Format, c: int, dtype=jnp.float32,
+           layout: str = "bitplane") -> jax.Array:
+    """Unpack packed storage back to quantized values.
 
     Integers return as signed integers (int32, or int8 when they fit) unless
     a float dtype is requested; floats decode to `dtype`.
     """
-    codes = unpack_codes(packed, fmt.code_bits, c)
+    if layout == "halfsplit":
+        codes = unpack_codes_halfsplit(packed, fmt.code_bits, c)
+    else:
+        codes = unpack_codes(packed, fmt.code_bits, c)
     if fmt.is_integer:
         vals = codes + jnp.int32(int(fmt.min))
         return vals.astype(dtype)

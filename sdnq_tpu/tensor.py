@@ -57,6 +57,10 @@ class QuantMeta:
     use_quantized_matmul: bool
     re_quantize_for_matmul: bool  # storage cannot feed the MXU directly
     dequant_dtype: str = "bfloat16"
+    # "bitplane" (any width) or "halfsplit" (2/4-bit ints): the halfsplit
+    # matmul layout decodes at ~1 VPU op/value, which is what makes the
+    # small-batch weight-only kernel HBM-bound instead of VPU-bound on TPU
+    pack_layout: str = "bitplane"
 
     @property
     def format(self) -> Format:
@@ -248,12 +252,21 @@ def quantize_tensor(
         # path (the cast happened anyway); only the <32-row dequantize
         # bailout sees bf16- instead of f16-rounded values.
         q = q.astype(jnp.bfloat16)
+    pack_layout = "bitplane"
     if fmt.is_packed:
         lead = q.shape[0]
+        flat_c = q.size // lead
         sr_bits = None
         if use_stochastic_rounding and rng is not None and not fmt.is_integer:
             sr_bits = jax.random.bits(rng, q.shape, jnp.uint32).reshape(lead, -1)
-        qdata = _pack(q.reshape(lead, -1), fmt, sr_bits=sr_bits)
+        # 2/4-bit integers use the half-split matmul layout (decode is one
+        # shift+mask per value — the VPU-bound small-batch regime's
+        # requirement; see packing.pack_codes_halfsplit)
+        if fmt.is_integer and fmt.code_bits in (2, 4) \
+                and flat_c % (8 // fmt.code_bits) == 0:
+            pack_layout = "halfsplit"
+        qdata = _pack(q.reshape(lead, -1), fmt, sr_bits=sr_bits,
+                      layout=pack_layout)
     else:
         qdata = q
 
@@ -271,6 +284,7 @@ def quantize_tensor(
         use_quantized_matmul=bool(use_quantized_matmul),
         re_quantize_for_matmul=bool(re_quantize),
         dequant_dtype=dequant_dtype,
+        pack_layout=pack_layout,
     )
     scale = scale.astype(jnp.float32)
     if zero_point is not None:
@@ -290,7 +304,8 @@ def _unpacked_values(qt: QTensor) -> jax.Array:
         flat_c = 1
         for d in meta.quantized_shape[1:]:
             flat_c *= d
-        vals = _unpack(qt.qdata, meta.format, flat_c, dtype=jnp.float32)
+        vals = _unpack(qt.qdata, meta.format, flat_c, dtype=jnp.float32,
+                       layout=meta.pack_layout)
         return vals.reshape(meta.quantized_shape)
     return qt.qdata
 

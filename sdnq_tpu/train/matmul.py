@@ -219,12 +219,50 @@ def _train_linear_bwd(save_q_acts, use_quantized_matmul, res, g):
     g2d = g.reshape(-1, g.shape[-1])
     mm_fmt = qt.meta.matmul_fmt
 
-    # grad_input = g @ W  (dynamic GEMM in the layer's matmul dtype against
-    # the dequantized weight, reference linear_int8.py:125-163)
-    w_deq = dequantize(qt, jnp.float32)
-    if w_deq.ndim > 2:
-        w_deq = w_deq.reshape(w_deq.shape[0], -1)
-    gx = _dynamic_mm(g2d, w_deq.T, mm_fmt)
+    # grad_input = g @ W  (reference linear_int8.py:125-163).  When the
+    # stored weight already IS a row-wise int8/uint8 matmul operand, reuse
+    # it directly instead of dequantize+requantize: the per-row scale rides
+    # the contraction axis, so it folds into the gradient —
+    #   g @ (W_q·s + zp·1ᵀ) = (g·sᵀ) @ W_q + (g @ zp) · 1ᵀ
+    # and the zero-point / SVD corrections become rank-1/rank-R epilogue
+    # terms of the fused kernel.  The backward then reads the weight at
+    # 1 byte/value with no f32 round-trip through HBM.
+    meta = qt.meta
+    mfmt = meta.matmul_format
+    q2d = qt.qdata
+    if q2d.ndim > 2:
+        q2d = q2d.reshape(q2d.shape[0], -1)
+    fast = (meta.use_quantized_matmul and not meta.re_quantize_for_matmul
+            and mfmt.is_integer
+            and q2d.dtype in (jnp.int8, jnp.uint8)
+            and qt.scale.size == q2d.shape[0])
+    if fast:
+        from ..layers import _weight_as_int8
+        from ..quant.hadamard import rotate_hadamard
+        w_q, w_s, w_zp = _weight_as_int8(qt)
+        gs = g2d * w_s.reshape(1, -1)
+        u_cols, v_rows = [], []
+        if w_zp is not None:
+            u_cols.append(g2d @ w_zp.reshape(-1, 1))
+            v_rows.append(jnp.ones((1, w_q.shape[1]), jnp.float32))
+        if qt.svd_up is not None:
+            u_cols.append(g2d @ qt.svd_up.astype(jnp.float32))
+            v_rows.append(qt.svd_down.astype(jnp.float32))
+        u = jnp.concatenate(u_cols, axis=-1) if u_cols else None
+        v = jnp.concatenate(v_rows, axis=0) if v_rows else None
+        gx = scaled_mm_fused_act(gs, w_q.T, None, None, x_fmt="int8",
+                                 out_dtype=jnp.float32,
+                                 lowrank_u=u, lowrank_v=v)
+        if meta.use_hadamard:
+            # fwd rotated x; W lives in rotated space, so rotate the
+            # cotangent back (normalized Hadamard is its own inverse)
+            gx = rotate_hadamard(gx, meta.hadamard_group_size,
+                                 precision=jax.lax.Precision.DEFAULT)
+    else:
+        w_deq = dequantize(qt, jnp.float32)
+        if w_deq.ndim > 2:
+            w_deq = w_deq.reshape(w_deq.shape[0], -1)
+        gx = _dynamic_mm(g2d, w_deq.T, mm_fmt)
 
     # grad_weight = gᵀ @ x
     if save_q_acts:

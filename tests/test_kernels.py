@@ -214,3 +214,65 @@ def test_dequant_matmul(request, backend_fixture, fmt_name, g):
         wd = wd + zp[..., None]
     ref = np.asarray(x) @ wd.reshape(o, k).T + bias[None]
     np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("fmt_name,g,mode", [
+    ("int4", 128, "groupdot"),    # lane-aligned groups: group-dot mode
+    ("int4", 64, "ematrix"),      # g%128!=0: expanded-scale (E-matrix) mode
+    ("uint4", 128, "groupdot"),   # zero-point dot path
+    ("uint2", 64, "ematrix"),     # 2-bit + zp
+    ("int2", 128, "groupdot"),
+])
+def test_groupdot_dequant_matmul(interpret, fmt_name, g, mode):
+    """Half-split 2/4-bit weights route through the group-dot Pallas kernel
+    (pack_layout='halfsplit'); parity vs the dense dequantized matmul."""
+    from sdnq_tpu.kernels.dequant_mm import _groupdot_mm_pallas
+    fmt = get_format(fmt_name)
+    rng = np.random.default_rng(7)
+    m, k, o = 16, 512, 128
+    ngroups = k // g
+    x = jnp.asarray(rng.normal(size=(m, k)).astype(np.float32))
+    q = rng.integers(int(fmt.min), int(fmt.max) + 1, (o, k))
+    scale = rng.uniform(0.01, 0.02, (o, ngroups)).astype(np.float32)
+    zp = (rng.uniform(-0.5, 0.5, (o, ngroups)).astype(np.float32)
+          if fmt.is_unsigned else None)
+    bias = rng.normal(size=(o,)).astype(np.float32)
+    wq = pack(jnp.asarray(q, jnp.int32), fmt, layout="halfsplit")
+    out = _groupdot_mm_pallas(
+        x, wq, jnp.asarray(scale), None if zp is None else jnp.asarray(zp),
+        jnp.asarray(bias), code_bits=fmt.code_bits, code_min=int(fmt.min),
+        group_size=g, out_dtype=jnp.dtype(jnp.float32))
+    wd = q.reshape(o, ngroups, g) * scale[..., None]
+    if zp is not None:
+        wd = wd + zp[..., None]
+    ref = np.asarray(x) @ wd.reshape(o, k).T + bias[None]
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)
+
+
+def test_dequant_matmul_halfsplit_dispatch(interpret):
+    """dequant_matmul(pack_layout='halfsplit') agrees with the bit-plane
+    route, both through the kernel and the XLA materialize fallback."""
+    import os
+    fmt = get_format("int4")
+    rng = np.random.default_rng(9)
+    m, k, o, g = 8, 512, 128, 128
+    x = jnp.asarray(rng.normal(size=(m, k)).astype(np.float32))
+    q = jnp.asarray(rng.integers(-8, 8, (o, k)), jnp.int32)
+    scale = jnp.asarray(rng.uniform(0.01, 0.02, (o, k // g)), jnp.float32)
+    wq_bp = pack(q, fmt)
+    wq_hs = pack(q, fmt, layout="halfsplit")
+    ref = dequant_matmul(x, wq_bp, scale, None, None, fmt, g,
+                         out_dtype=jnp.float32)
+    out = dequant_matmul(x, wq_hs, scale, None, None, fmt, g,
+                         out_dtype=jnp.float32, pack_layout="halfsplit")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+    # materialize fallback (route everything >= 1 row to XLA)
+    os.environ["SDNQ_TPU_DEQUANT_MATERIALIZE_ROWS"] = "1"
+    try:
+        out2 = dequant_matmul(x, wq_hs, scale, None, None, fmt, g,
+                              out_dtype=jnp.float32, pack_layout="halfsplit")
+    finally:
+        del os.environ["SDNQ_TPU_DEQUANT_MATERIALIZE_ROWS"]
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)

@@ -57,3 +57,23 @@ def test_llm_quantized_generation():
                       .integers(0, cfg.vocab_size, (1, 6)))
     toks = generate(qp, ids, cfg, max_new_tokens=4)
     assert toks.shape == (1, 4)
+
+
+def test_llm_int8_kv_cache_matches_bf16_cache():
+    """The quantized KV cache (int8 rows + per-token scales, quantized once
+    at insert) must decode the same tokens as the bf16 cache on a
+    well-conditioned model — a serving capability the reference lacks."""
+    import dataclasses
+    cfg = LLM_TINY_CONFIG
+    params = init_llm(jax.random.key(0), cfg)
+    ids = jnp.asarray(np.random.default_rng(3)
+                      .integers(0, cfg.vocab_size, (2, 12)))
+    out_bf = generate(params, ids, cfg, max_new_tokens=8)
+    cfg8 = dataclasses.replace(cfg, kv_cache_dtype="int8")
+    out_q = generate(params, ids, cfg8, max_new_tokens=8)
+    agree = float((np.asarray(out_bf) == np.asarray(out_q)).mean())
+    assert agree >= 0.75, agree  # int8 KV noise may flip rare near-ties
+
+    from sdnq_tpu.models.llm import init_cache
+    c = init_cache(cfg8, 1, 16)[0]
+    assert len(c) == 5 and c[0].dtype == jnp.int8 and c[2].dtype == jnp.int8

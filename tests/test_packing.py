@@ -109,3 +109,40 @@ def test_subnormal_handling():
     assert dec[1] == pytest.approx(min_sub)
     assert dec[2] == pytest.approx(2.0 * min_sub)  # RTNE: 2.5 -> 2 (even)
     assert dec[3] == 0.0  # 0.4 ulp rounds to zero
+
+
+@pytest.mark.parametrize("bits", [2, 4])
+def test_halfsplit_roundtrip(bits):
+    from sdnq_tpu.packing import pack_codes_halfsplit, unpack_codes_halfsplit
+    rng = np.random.default_rng(bits)
+    c = 256
+    codes = jnp.asarray(rng.integers(0, 2 ** bits, (5, c)), jnp.int32)
+    packed = pack_codes_halfsplit(codes, bits)
+    assert packed.dtype == jnp.uint8
+    assert packed.shape == (5, c * bits // 8)
+    out = unpack_codes_halfsplit(packed, bits, c)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(codes))
+
+
+def test_halfsplit_field_layout():
+    """Field t of byte b must be code[t*C/p + b] — the property the
+    group-dot kernel's one-shift decode depends on."""
+    from sdnq_tpu.packing import pack_codes_halfsplit
+    c, bits = 16, 4
+    codes = jnp.arange(c, dtype=jnp.int32)[None]
+    packed = np.asarray(pack_codes_halfsplit(codes, bits))[0]
+    seg = c // 2
+    for b in range(seg):
+        assert packed[b] & 0xF == b              # field 0 -> code[b]
+        assert (packed[b] >> 4) & 0xF == seg + b  # field 1 -> code[seg+b]
+
+
+def test_pack_halfsplit_layout_int4():
+    from sdnq_tpu.packing import pack, unpack
+    from sdnq_tpu.formats import get_format
+    fmt = get_format("int4")
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.integers(-8, 8, (4, 64)), jnp.int32)
+    packed = pack(q, fmt, layout="halfsplit")
+    out = unpack(packed, fmt, 64, dtype=jnp.int32, layout="halfsplit")
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(q))
