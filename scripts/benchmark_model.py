@@ -33,6 +33,9 @@ def main():
                     help="four separately-jitted stages (Flux-scale configs "
                          "whose single jit exceeds remote-compile limits)")
     ap.add_argument("--skip-bf16", action="store_true")
+    ap.add_argument("--dtype", type=str, default="float32",
+                    help="param init dtype (bfloat16 halves init HBM — "
+                         "needed at Flux-scale dims on a 16GB chip)")
     args = ap.parse_args()
 
     hd = args.hidden // args.heads
@@ -43,7 +46,7 @@ def main():
                     num_heads=args.heads, depth_double=args.double,
                     depth_single=args.single, txt_dim=2048, vec_dim=768,
                     axes_dims=(a1, rest, rest))
-    params = init_dit(jax.random.key(0), cfg, dtype=jnp.float32)
+    params = init_dit(jax.random.key(0), cfg, dtype=jnp.dtype(args.dtype))
 
     rng = np.random.default_rng(0)
     side = int(args.tokens ** 0.5)

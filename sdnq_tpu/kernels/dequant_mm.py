@@ -318,25 +318,49 @@ def _dequant_mm_pallas(x, wq, scale, zp, bias, *, fmt_name, code_bits,
 # ---------------------------------------------------------------------------
 
 def _groupdot_kernel(x_ref, wq_ref, scale_t_ref, zp_t_ref, bias_ref, e_ref,
-                     out_ref, wdec_ref, *, code_bits: int, code_min: int,
+                     out_ref, wdec_ref, *, planes: tuple, code_min: int,
+                     is_float: bool, fmt_name: str,
                      g: int, n_groups: int, kdim: int, has_zp: bool,
                      has_bias: bool, groupdot: bool):
     i = pl.program_id(1)
-    p = 8 // code_bits
-    seg = kdim // p
-    mask = (1 << code_bits) - 1
+    pmax = max(8 // w for w, _ in planes)
+    seg = kdim // pmax
+    # byte offset of each half-split plane in the packed array
+    offs, off = [], 0
+    for w, _ in planes:
+        offs.append(off)
+        off += kdim // (8 // w)
+
+    def chunk_codes(q):
+        """Codes for values [q*seg, (q+1)*seg): one shift+mask per plane
+        (static byte sub-slices), one shift-or to recombine."""
+        code = None
+        for (w, sh), o0 in zip(planes, offs):
+            p_w = 8 // w
+            t = q // (pmax // p_w)
+            b0 = (q % (pmax // p_w)) * seg
+            chunk = wq_ref[:, o0 + b0:o0 + b0 + seg].astype(jnp.int32)
+            field = ((chunk >> (w * t)) & ((1 << w) - 1)) << sh
+            code = field if code is None else code | field
+        return code
 
     @pl.when(i == 0)
     def _():
-        b = wq_ref[:].astype(jnp.int32)            # (BN, kdim/p) bytes
-        if groupdot:
+        if groupdot and not is_float:
             # raw unsigned codes — the offset-binary code_min is folded
             # into the zero-point dot (code_min*scale acts as a group
             # zero-point), saving one VPU add per value
-            for t in range(p):
-                codes = (b >> (code_bits * t)) & mask
-                wdec_ref[:, t * seg:(t + 1) * seg] = \
-                    codes.astype(wdec_ref.dtype)
+            for q in range(pmax):
+                wdec_ref[:, q * seg:(q + 1) * seg] = \
+                    chunk_codes(q).astype(wdec_ref.dtype)
+        elif groupdot:
+            # minifloat values decode in ~8 VPU ops (packing.decode_float
+            # bitcast fast path); group scales apply to the partial dots
+            for q in range(pmax):
+                vals = decode_float(chunk_codes(q), get_format(fmt_name),
+                                    dtype=jnp.float32)
+                wdec_ref[:, q * seg:(q + 1) * seg] = \
+                    vals.astype(wdec_ref.dtype)
         else:
             # expanded scale/zp rows via f32 MXU dot against E (G, K)
             exp_s = jax.lax.dot_general(
@@ -348,12 +372,17 @@ def _groupdot_kernel(x_ref, wq_ref, scale_t_ref, zp_t_ref, bias_ref, e_ref,
                     jnp.transpose(zp_t_ref[:]).astype(jnp.float32),
                     e_ref[:], (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
-            for t in range(p):
-                codes = ((b >> (code_bits * t)) & mask) + code_min
-                w = codes.astype(jnp.float32) * exp_s[:, t * seg:(t + 1) * seg]
+            for q in range(pmax):
+                if is_float:
+                    vals = decode_float(chunk_codes(q),
+                                        get_format(fmt_name),
+                                        dtype=jnp.float32)
+                else:
+                    vals = (chunk_codes(q) + code_min).astype(jnp.float32)
+                w = vals * exp_s[:, q * seg:(q + 1) * seg]
                 if has_zp:
-                    w = w + exp_z[:, t * seg:(t + 1) * seg]
-                wdec_ref[:, t * seg:(t + 1) * seg] = w.astype(wdec_ref.dtype)
+                    w = w + exp_z[:, q * seg:(q + 1) * seg]
+                wdec_ref[:, q * seg:(q + 1) * seg] = w.astype(wdec_ref.dtype)
 
     if groupdot:
         acc = None
@@ -365,15 +394,17 @@ def _groupdot_kernel(x_ref, wq_ref, scale_t_ref, zp_t_ref, bias_ref, e_ref,
                 preferred_element_type=jnp.float32)      # (BM, BN)
             term = part * scale_t_ref[gi:gi + 1, :].astype(jnp.float32)
             acc = term if acc is None else acc + term
-        # zero-point dot carries both the real zero-points and the folded
-        # offset-binary code_min (zp_t_ref is pre-combined by the caller)
-        xsum = jax.lax.dot_general(
-            x_ref[:], e_ref[:], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)           # (BM, G)
-        acc = acc + jax.lax.dot_general(
-            xsum, zp_t_ref[:].astype(jnp.float32),
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        if has_zp or not is_float:
+            # zero-point dot carries both the real zero-points and the
+            # folded offset-binary code_min (zp_t_ref is pre-combined by
+            # the caller); float weights are symmetric — no dot needed
+            xsum = jax.lax.dot_general(
+                x_ref[:], e_ref[:], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)       # (BM, G)
+            acc = acc + jax.lax.dot_general(
+                xsum, zp_t_ref[:].astype(jnp.float32),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
     else:
         acc = jax.lax.dot_general(
             x_ref[:], wdec_ref[:], (((1,), (1,)), ((), ())),
@@ -384,9 +415,12 @@ def _groupdot_kernel(x_ref, wq_ref, scale_t_ref, zp_t_ref, bias_ref, e_ref,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "code_bits", "code_min", "group_size", "out_dtype", "bm", "bn"))
-def _groupdot_mm_pallas(x, wq, scale, zp, bias, *, code_bits, code_min,
-                        group_size, out_dtype, bm=512, bn=256):
+    "fmt_name", "code_bits", "code_min", "is_float", "group_size",
+    "out_dtype", "bm", "bn"))
+def _groupdot_mm_pallas(x, wq, scale, zp, bias, *, fmt_name, code_bits,
+                        code_min, is_float, group_size, out_dtype,
+                        bm=512, bn=256):
+    from ..packing import halfsplit_planes
     m, kdim = x.shape
     o = wq.shape[0]
     g = group_size if group_size > 0 else kdim
@@ -402,7 +436,7 @@ def _groupdot_mm_pallas(x, wq, scale, zp, bias, *, code_bits, code_min,
     scale_t = jnp.transpose(scale).astype(jnp.float32)      # (G, O)
     zp_t = (jnp.transpose(zp).astype(jnp.float32) if has_zp
             else jnp.zeros_like(scale_t))
-    if groupdot:
+    if groupdot and not is_float:
         # fold the offset-binary code_min into the zero-point rows:
         # value = (code_u + code_min)*s + zp  ->  code_u*s + (zp+code_min*s)
         zp_t = zp_t + float(code_min) * scale_t
@@ -412,7 +446,8 @@ def _groupdot_mm_pallas(x, wq, scale, zp, bias, *, code_bits, code_min,
          == jnp.arange(n_groups)[:, None]).astype(jnp.float32)  # (G, K)
 
     kernel = functools.partial(
-        _groupdot_kernel, code_bits=code_bits, code_min=code_min, g=g,
+        _groupdot_kernel, planes=tuple(halfsplit_planes(code_bits)),
+        code_min=code_min, is_float=is_float, fmt_name=fmt_name, g=g,
         n_groups=n_groups, kdim=kdim, has_zp=has_zp, has_bias=has_bias,
         groupdot=groupdot)
 
@@ -466,11 +501,12 @@ def dequant_matmul(x: jax.Array, wq: jax.Array, scale: jax.Array,
     g = group_size if group_size > 0 else kdim
     if packed and pack_layout == "halfsplit":
         from ..envconfig import env_int
+        from ..packing import halfsplit_planes
         mat_rows = env_int("SDNQ_TPU_DEQUANT_MATERIALIZE_ROWS", 4096)
-        p = 8 // fmt.code_bits
-        seg = kdim // p
+        pmax = max(8 // w for w, _ in halfsplit_planes(fmt.code_bits))
+        seg = kdim // pmax
         ok = (seg % 128 == 0 and kdim <= _MAX_K and kdim % g == 0
-              and kdim // g <= 512 and g % (p if p else 1) == 0)
+              and kdim // g <= 512 and g % pmax == 0)
         if use_pallas() and ok and not (mat_rows > 0 and m >= mat_rows):
             xk = (x.astype(jnp.bfloat16)
                   if x.dtype == jnp.float32 and kernel_backend() == "pallas"
@@ -479,7 +515,9 @@ def dequant_matmul(x: jax.Array, wq: jax.Array, scale: jax.Array,
             kw = {"bm": ov[0], "bn": ov[1]} if ov else {}
             return _groupdot_mm_pallas(
                 xk, wq, scale, zero_point, bias,
-                code_bits=fmt.code_bits, code_min=int(fmt.min),
+                fmt_name=fmt.name, code_bits=fmt.code_bits,
+                code_min=int(fmt.min) if fmt.is_integer else 0,
+                is_float=not fmt.is_integer,
                 group_size=group_size, out_dtype=jnp.dtype(out_dtype), **kw)
         # XLA materialize fallback
         from ..packing import unpack as _unpack

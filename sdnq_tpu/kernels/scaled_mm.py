@@ -29,8 +29,8 @@ from jax.experimental.pallas import tpu as pltpu
 from .dispatch import use_pallas, pallas_interpret
 from ..envconfig import env_blocks, env_bool, vmem_limit_bytes
 
-__all__ = ["scaled_mm", "scaled_mm_fused_act", "int8_mm", "fp8_mm",
-           "bf16_scaled_mm"]
+__all__ = ["scaled_mm", "scaled_mm_fused_act", "scaled_mm_tn",
+           "dynamic_mm_tn", "int8_mm", "fp8_mm", "bf16_scaled_mm"]
 
 
 # ---------------------------------------------------------------------------
@@ -230,7 +230,8 @@ def _scaled_mm_pallas(x_q, w_q, x_scale, w_scale, bias, u=None, v=None,
 def _fused_act_mm_kernel(x_ref, w_ref, ws_ref, bias_ref, u_ref, v_ref,
                          vz0_ref, vz1_ref, out_ref,
                          xq_ref, xs_ref, rs_ref, zp_ref, *, qmax, acc_dtype,
-                         has_ws, has_bias, has_uv, asym, fuse_fp8):
+                         has_ws, has_bias, has_uv, asym, fuse_fp8,
+                         b_dim0):
     j = pl.program_id(1)
     bm, kdim = x_ref.shape
     # quantize in row chunks: (rc, K) f32 temporaries must fit scoped vmem.
@@ -273,7 +274,7 @@ def _fused_act_mm_kernel(x_ref, w_ref, ws_ref, bias_ref, u_ref, v_ref,
                 xs_ref[r0:r0 + rc, :] = scale
 
     acc = jax.lax.dot_general(
-        xq_ref[:], w_ref[:], (((1,), (1,)), ((), ())),
+        xq_ref[:], w_ref[:], (((1,), (0 if b_dim0 else 1,)), ((), ())),
         preferred_element_type=acc_dtype)
     out = acc.astype(jnp.float32) * xs_ref[:]
     if has_ws:
@@ -295,18 +296,21 @@ def _fused_act_mm_kernel(x_ref, w_ref, ws_ref, bias_ref, u_ref, v_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("x_fmt", "out_dtype", "bm", "bn"),
+    static_argnames=("x_fmt", "out_dtype", "bm", "bn", "b_dim0"),
 )
 def _fused_act_mm_pallas(x, w_q, w_scale, bias, u=None, v=None,
                          v_zp0=None, v_zp1=None,
                          x_fmt="int8", out_dtype=jnp.bfloat16,
-                         bm=0, bn=0):
-    """x (M, K) float; w_q (O, K) int8/fp8.  Quantizes x per-row in the
-    kernel prologue (j == 0 of each i-row; the x block stays VMEM-resident
-    across the j sweep).  u/v carry the SVD epilogue; v_zp0/v_zp1 are the
-    weight-side zero-point rank-1 rows for the asymmetric path."""
+                         bm=0, bn=0, b_dim0=False):
+    """x (M, K) float; w_q (O, K) int8/fp8 — or (K, O) with ``b_dim0=True``
+    (contract w's leading axis: the grad-input "NN" orientation, which reads
+    the stored weight in its natural layout instead of materializing an
+    int8 transpose in HBM).  Quantizes x per-row in the kernel prologue
+    (j == 0 of each i-row; the x block stays VMEM-resident across the j
+    sweep).  u/v carry the SVD epilogue; v_zp0/v_zp1 are the weight-side
+    zero-point rank-1 rows for the asymmetric path."""
     m, kdim = x.shape
-    o, _ = w_q.shape
+    o = w_q.shape[1] if b_dim0 else w_q.shape[0]
     asym = v_zp0 is not None
     fuse_fp8 = x_fmt.startswith("float8")
     if fuse_fp8:
@@ -347,7 +351,7 @@ def _fused_act_mm_pallas(x, w_q, w_scale, bias, u=None, v=None,
     kernel = functools.partial(
         _fused_act_mm_kernel, qmax=qmax, acc_dtype=acc_dtype,
         has_ws=has_ws, has_bias=has_bias, has_uv=has_uv, asym=asym,
-        fuse_fp8=fuse_fp8)
+        fuse_fp8=fuse_fp8, b_dim0=b_dim0)
 
     flops = 2 * m * o * kdim
     bytes_accessed = (m * kdim * x.dtype.itemsize + o * kdim
@@ -359,8 +363,10 @@ def _fused_act_mm_pallas(x, w_q, w_scale, bias, u=None, v=None,
         in_specs=[
             pl.BlockSpec((bm_, kdim), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bn_, kdim), lambda i, j: (j, 0),
-                         memory_space=pltpu.VMEM),
+            (pl.BlockSpec((kdim, bn_), lambda i, j: (0, j),
+                          memory_space=pltpu.VMEM) if b_dim0 else
+             pl.BlockSpec((bn_, kdim), lambda i, j: (j, 0),
+                          memory_space=pltpu.VMEM)),
             pl.BlockSpec((1, bn_), row, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bn_), row, memory_space=pltpu.VMEM),
             pl.BlockSpec((bm_, r), lambda i, j: (i, 0),
@@ -389,6 +395,228 @@ def _fused_act_mm_pallas(x, w_q, w_scale, bias, u=None, v=None,
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0),
         interpret=pallas_interpret(),
     )(x, w_q, ws, b, u_in, v_in, z0, z1)
+
+
+# ---------------------------------------------------------------------------
+# TN scaled matmul: out (N, K) = aᵀ @ b with a (M, N), b (M, K), contracting
+# the *leading* axis of both operands.  This is the grad-weight orientation
+# (gw = gᵀ @ x): both operands are consumed in their natural storage layout
+# and quantized **columnwise** (per out-row n over M for a, per out-col k
+# over M for b) by the caller — one fused XLA reduce+cast each, with no
+# (M, N)→(N, M) transpose ever materialized in HBM.  The reference instead
+# materializes g.t() before its Triton kernel (linear_int8.py:137-141).
+# ---------------------------------------------------------------------------
+
+def _tn_mm_kernel(a_ref, b_ref, as_ref, bs_ref, u_ref, v_ref, out_ref,
+                  acc_ref, *, acc_dtype, n_k, has_as, has_bs, has_uv):
+    k = pl.program_id(2)
+
+    def epilogue(acc):
+        out = acc.astype(jnp.float32)
+        if has_as:
+            out = out * as_ref[:].astype(jnp.float32)          # (BN, 1)
+        if has_bs:
+            out = out * bs_ref[:].astype(jnp.float32)          # (1, BK)
+        if has_uv:
+            out = out + jax.lax.dot_general(
+                u_ref[:].astype(jnp.float32),
+                v_ref[:].astype(jnp.float32),
+                (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
+        out_ref[:] = out.astype(out_ref.dtype)
+
+    dot = lambda: jax.lax.dot_general(  # noqa: E731
+        a_ref[:], b_ref[:], (((0,), (0,)), ((), ())),
+        preferred_element_type=acc_dtype)
+
+    if n_k == 1:
+        epilogue(dot())
+        return
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += dot()
+
+    @pl.when(k == n_k - 1)
+    def _():
+        epilogue(acc_ref[:])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("out_dtype", "acc_dtype", "bn", "bk", "bmc"),
+)
+def _scaled_mm_tn_pallas(a_q, b_q, a_scale, b_scale, u=None, v=None,
+                         out_dtype=jnp.float32, acc_dtype=jnp.int32,
+                         bn=0, bk=0, bmc=0):
+    m, n = a_q.shape
+    _, kd = b_q.shape
+    # contraction (M) tiles must divide M exactly: pad with zero rows
+    # (zeros contribute nothing to the accumulation)
+    if bmc == 0:
+        bmc = 2048
+    sub = 32 if a_q.dtype.itemsize == 1 else 8
+    bmc_ = _pick_k_block(m, bmc) or 0
+    if bmc_ == 0:
+        mpad = (m + sub - 1) // sub * sub
+        for cand in range(min(bmc, mpad), 0, -sub):
+            if mpad % cand == 0:
+                bmc_ = cand
+                break
+        pad = mpad - m
+        if pad:
+            a_q = jnp.pad(a_q, ((0, pad), (0, 0)))
+            b_q = jnp.pad(b_q, ((0, pad), (0, 0)))
+        m = mpad
+    if bn == 0 or bk == 0:
+        bn = bn or 512
+        bk = bk or 512
+        itemsize = a_q.dtype.itemsize
+        while (bn + bk) * bmc_ * itemsize * 2 + bn * bk * 4 > 48 * 2 ** 20 \
+                and bn > 128:
+            bn //= 2
+            bk = max(bk // 2, 128)
+    bn_ = _pick_block(n, bn, 128)
+    bk_ = _pick_block(kd, bk, 128)
+    n_i, n_j, n_k = pl.cdiv(n, bn_), pl.cdiv(kd, bk_), pl.cdiv(m, bmc_)
+
+    has_as, has_bs = a_scale is not None, b_scale is not None
+    has_uv = u is not None
+    asv = (a_scale.reshape(-1, 1) if has_as else jnp.zeros((n, 1),
+                                                           jnp.float32))
+    bsv = (b_scale.reshape(1, -1) if has_bs else jnp.zeros((1, kd),
+                                                           jnp.float32))
+    r = u.shape[-1] if has_uv else 8
+    u_in = u if has_uv else jnp.zeros((n, r), jnp.float32)
+    v_in = v if has_uv else jnp.zeros((r, kd), jnp.float32)
+
+    kernel = functools.partial(
+        _tn_mm_kernel, acc_dtype=acc_dtype, n_k=n_k,
+        has_as=has_as, has_bs=has_bs, has_uv=has_uv)
+
+    flops = 2 * m * n * kd
+    bytes_accessed = (m * n * a_q.dtype.itemsize
+                      + m * kd * b_q.dtype.itemsize
+                      + n * kd * jnp.dtype(out_dtype).itemsize)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_i, n_j, n_k),
+        in_specs=[
+            pl.BlockSpec((bmc_, bn_), lambda i, j, k: (k, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bmc_, bk_), lambda i, j, k: (k, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn_, 1), lambda i, j, k: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk_), lambda i, j, k: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn_, r), lambda i, j, k: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, bk_), lambda i, j, k: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bn_, bk_), lambda i, j, k: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, kd), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bn_, bk_), acc_dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=vmem_limit_bytes()),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0),
+        interpret=pallas_interpret(),
+    )(a_q, b_q, asv, bsv, u_in, v_in)
+
+
+def scaled_mm_tn(a_q: jax.Array, b_q: jax.Array,
+                 a_scale: jax.Array | None = None,
+                 b_scale: jax.Array | None = None,
+                 out_dtype=jnp.float32,
+                 lowrank_u: jax.Array | None = None,
+                 lowrank_v: jax.Array | None = None) -> jax.Array:
+    """``out = (a_qᵀ @ b_q) * a_scale[:, None] * b_scale[None, :] [+ u @ v]``
+    contracting the leading (M) axis of both operands.
+
+    a_q (M, N) and b_q (M, K) int8/fp8/bf16 in natural storage; a_scale (N,)
+    / b_scale (K,) columnwise scales.  lowrank_u (N, R) / lowrank_v (R, K)
+    carry the asymmetric zero-point cross terms as a fused epilogue."""
+    acc_dtype = jnp.int32 if a_q.dtype == jnp.int8 else jnp.float32
+    if use_pallas():
+        ov = env_blocks("SDNQ_TPU_TN_MM_BLOCKS", 3) or (0, 0, 0)
+        return _scaled_mm_tn_pallas(
+            a_q, b_q, a_scale, b_scale, lowrank_u, lowrank_v,
+            out_dtype=jnp.dtype(out_dtype), acc_dtype=acc_dtype,
+            bn=ov[0], bk=ov[1], bmc=ov[2])
+    acc = jax.lax.dot_general(a_q, b_q, (((0,), (0,)), ((), ())),
+                              preferred_element_type=acc_dtype)
+    out = acc.astype(jnp.float32)
+    if a_scale is not None:
+        out = out * a_scale.astype(jnp.float32).reshape(-1, 1)
+    if b_scale is not None:
+        out = out * b_scale.astype(jnp.float32).reshape(1, -1)
+    if lowrank_u is not None:
+        out = out + (lowrank_u.astype(jnp.float32)
+                     @ lowrank_v.astype(jnp.float32))
+    return out.astype(out_dtype)
+
+
+def dynamic_mm_tn(a: jax.Array, b: jax.Array, mm_fmt: str = "int8",
+                  out_dtype=jnp.float32,
+                  saved_b: tuple | None = None) -> jax.Array:
+    """aᵀ @ b with both operands dynamically quantized **columnwise** in the
+    `mm_fmt` family (per out-row n over M for a, per out-col k over M for b)
+    — the grad-weight GEMM with zero transposes.  ``saved_b`` short-circuits
+    the b-side quantize with a pre-quantized (q, scale[, zp]) tuple (the
+    save_quantized_activations path)."""
+    from ..formats import get_format as _gf
+    from ..quant.core import quantize_fp_mm, quantize_int_mm, \
+        quantize_uint_mm
+    f = _gf(mm_fmt)
+    mdim = a.shape[0]
+    a = a.astype(jnp.float32)
+    if f.is_integer and not f.is_unsigned:
+        a_q, a_s = quantize_int_mm(a, axis=0)
+        if saved_b is None:
+            b_q, b_s = quantize_int_mm(b.astype(jnp.float32), axis=0)
+        else:
+            b_q, b_s = saved_b
+        return scaled_mm_tn(a_q, b_q, a_s.reshape(-1), b_s.reshape(-1),
+                            out_dtype=out_dtype)
+    if f.is_integer:
+        a_q, a_s, a_zp = quantize_uint_mm(a, axis=0)
+        if saved_b is None:
+            b_q, b_s, b_zp = quantize_uint_mm(b.astype(jnp.float32), axis=0)
+        else:
+            b_q, b_s, b_zp = saved_b
+        # aᵀb = (a_q s_a + z_a)ᵀ(b_q s_b + z_b): the three cross terms are
+        # rank-1 in (n, k) — colsum(a_q)·s_a ⊗ z_b, z_a ⊗ colsum(b_q)·s_b,
+        # and M·z_a ⊗ z_b — fused as a rank-2 u/v epilogue.
+        a_s1, a_zp1 = a_s.reshape(-1), a_zp.reshape(-1)
+        b_s1, b_zp1 = b_s.reshape(-1), b_zp.reshape(-1)
+        csa = jnp.sum(a_q.astype(jnp.int32), axis=0).astype(jnp.float32)
+        csb = jnp.sum(b_q.astype(jnp.int32), axis=0).astype(jnp.float32)
+        u = jnp.stack([csa * a_s1, a_zp1], axis=-1)            # (N, 2)
+        v = jnp.stack([b_zp1,
+                       csb * b_s1 + float(mdim) * b_zp1], axis=0)  # (2, K)
+        return scaled_mm_tn(a_q, b_q, a_s1, b_s1, out_dtype=out_dtype,
+                            lowrank_u=u, lowrank_v=v)
+    if f.num_bits == 8:
+        a_q, a_s = quantize_fp_mm(a, axis=0, fmt=f)
+        if saved_b is None:
+            b_q, b_s = quantize_fp_mm(b.astype(jnp.float32), axis=0, fmt=f)
+        else:
+            b_q, b_s = saved_b
+        return scaled_mm_tn(a_q, b_q, a_s.reshape(-1), b_s.reshape(-1),
+                            out_dtype=out_dtype)
+    # 16-bit family: bf16 multiplies, fp32 accumulate, no quantize pass
+    acc = jax.lax.dot_general(a.astype(jnp.bfloat16),
+                              b.astype(jnp.bfloat16),
+                              (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    return acc.astype(out_dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -442,7 +670,8 @@ def scaled_mm_fused_act(x, w_q,
                         lowrank_v: jax.Array | None = None,
                         v_zp0: jax.Array | None = None,
                         v_zp1: jax.Array | None = None,
-                        bm: int = 0, bn: int = 0) -> jax.Array:
+                        bm: int = 0, bn: int = 0,
+                        b_layout: str = "nt") -> jax.Array:
     """``scaled_mm`` with the per-row activation quantization fused into the
     kernel prologue — x arrives in bf16/f32 and never round-trips through
     HBM as a separate quantized array (the reference fuses this via
@@ -450,11 +679,18 @@ def scaled_mm_fused_act(x, w_q,
 
     x_fmt: "int8" (symmetric), "uint8" (asymmetric; requires v_zp0/v_zp1 =
     the weight-side zero-point rank-1 rows), or a float8 name.
+    b_layout: "nt" — w_q (O, K), out = x @ w_qᵀ (the forward orientation);
+    "nn" — w_q (K, O), out = x @ w_q, contracting w's leading axis.  "nn"
+    is the grad-input orientation: the stored (O, K) weight is consumed
+    as-is when the cotangent plays the x role, with no int8 transpose
+    materialized in HBM (reference linear_int8.py:125-163 calls a separate
+    transposed-weight Triton kernel for this).
     Falls back to quantize-then-scaled_mm off-TPU or for shapes the fused
     kernel does not support.
     """
     m, kdim = x.shape
     asym = x_fmt == "uint8"
+    b_dim0 = b_layout == "nn"
     pad = (-kdim) % 128
     eligible = (use_pallas() and m >= 16 and kdim >= 256
                 and kdim + pad <= 16384
@@ -463,12 +699,14 @@ def scaled_mm_fused_act(x, w_q,
     if eligible:
         if pad:
             x = jnp.pad(x, ((0, 0), (0, pad)))
-            w_q = jnp.pad(w_q, ((0, 0), (0, pad)))
+            w_q = (jnp.pad(w_q, ((0, pad), (0, 0))) if b_dim0
+                   else jnp.pad(w_q, ((0, 0), (0, pad))))
         if bm == 0 and bn == 0:
             bm, bn = env_blocks("SDNQ_TPU_FUSED_MM_BLOCKS", 2) or (0, 0)
         return _fused_act_mm_pallas(
             x, w_q, w_scale, bias, lowrank_u, lowrank_v, v_zp0, v_zp1,
-            x_fmt=x_fmt, out_dtype=jnp.dtype(out_dtype), bm=bm, bn=bn)
+            x_fmt=x_fmt, out_dtype=jnp.dtype(out_dtype), bm=bm, bn=bn,
+            b_dim0=b_dim0)
 
     from ..quant.core import quantize_fp_mm, quantize_int_mm, quantize_uint_mm
     u, v = lowrank_u, lowrank_v
@@ -488,6 +726,18 @@ def scaled_mm_fused_act(x, w_q,
         w_q = w_q.astype(x_q.dtype)
     else:
         x_q, x_scale = quantize_int_mm(x, axis=-1)
+    if b_dim0:
+        acc_dtype = jnp.int32 if x_q.dtype == jnp.int8 else jnp.float32
+        acc = jax.lax.dot_general(x_q, w_q, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=acc_dtype)
+        out = acc.astype(jnp.float32) * x_scale.astype(jnp.float32)
+        if w_scale is not None:
+            out = out * w_scale.astype(jnp.float32).reshape(1, -1)
+        if bias is not None:
+            out = out + bias.astype(jnp.float32)
+        if u is not None:
+            out = out + u.astype(jnp.float32) @ v.astype(jnp.float32)
+        return out.astype(out_dtype)
     return scaled_mm(x_q, w_q, x_scale, w_scale, bias, out_dtype=out_dtype,
                      lowrank_u=u, lowrank_v=v)
 

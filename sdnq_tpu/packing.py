@@ -84,45 +84,75 @@ def pack_codes(codes: jax.Array, num_bits: int) -> jax.Array:
     return jnp.concatenate(planes, axis=-1)
 
 
-def pack_codes_halfsplit(codes: jax.Array, num_bits: int) -> jax.Array:
-    """Half-split byte layout for widths that divide 8 (2 and 4 bit).
+def halfsplit_planes(num_bits: int) -> list[tuple[int, int]]:
+    """Field-plane decomposition of a code width for the half-split layout:
+    the set bits of ``num_bits`` in {8, 4, 2, 1}, MSB-first, as
+    ``(width, shift)`` pairs.  6-bit codes (e.g. float6) split into a 4-bit
+    plane of ``code >> 2`` and a 2-bit plane of ``code & 3``; every plane's
+    width divides 8 so its decode stays one shift+mask per value."""
+    planes, shift = [], num_bits
+    for w in (8, 4, 2, 1):
+        if num_bits & w:
+            shift -= w
+            planes.append((w, shift))
+    return planes
 
-    byte b packs codes ``[b, b + C/p, b + 2C/p, ...]`` in ascending bit
-    fields, p = 8/num_bits values per byte: field t of byte b is
-    ``code[t * C/p + b]``.  Decoding field t of the whole row is ONE
-    shift+mask over the byte array — ~1 VPU op per value, vs
-    ~2*num_bits for the bit-plane layout.  This is the *matmul layout*
-    for low-bit integer weights: on v5e the VPU:HBM ratio (~2.4 ops per
-    HBM byte) makes the decode, not the read, the small-batch bottleneck,
-    so the weight-only kernel's win hinges on minimal per-value decode
-    (see kernels/dequant_mm.py group-dot path).  The reference's
+
+def pack_codes_halfsplit(codes: jax.Array, num_bits: int) -> jax.Array:
+    """Half-split byte layout for widths 1..8.
+
+    For a width that divides 8: byte b packs codes ``[b, b + C/p,
+    b + 2C/p, ...]`` in ascending bit fields, p = 8/num_bits values per
+    byte — field t of byte b is ``code[t * C/p + b]``.  Decoding field t of
+    the whole row is ONE shift+mask over the byte array — ~1 VPU op per
+    value, vs ~2*num_bits for the bit-plane layout.  Widths 3/5/6/7 store
+    the binary decomposition of the code's bit-fields as separate
+    half-split planes concatenated along the last axis (6 = 4+2:
+    ``code >> 2`` in a 4-bit plane, ``code & 3`` in a 2-bit plane) —
+    still exactly ``num_bits`` bits/value, decode = one shift+mask per
+    plane + one shift-or to recombine.  This is the *matmul layout* for
+    low-bit weights: on v5e the VPU:HBM ratio (~2.4 ops per HBM byte)
+    makes the decode, not the read, the small-batch bottleneck, so the
+    weight-only kernel's win hinges on minimal per-value decode (see
+    kernels/dequant_mm.py group-dot path).  The reference's
     prepare_weight_for_matmul plays the same storage-vs-matmul-layout
     role (quant_utils.py:187).
 
-    codes: (..., C) non-negative ints < 2**num_bits, C % p == 0.
+    codes: (..., C) non-negative ints < 2**num_bits, C % (8/min_width) == 0.
     Returns uint8 (..., C * num_bits / 8).
     """
-    assert num_bits in (2, 4), num_bits
-    p = 8 // num_bits
+    assert 1 <= num_bits <= 8, num_bits
     c = codes.shape[-1]
-    assert c % p == 0, (c, p)
-    seg = c // p
-    parts = codes.astype(jnp.uint32).reshape(*codes.shape[:-1], p, seg)
-    byte = jnp.zeros(codes.shape[:-1] + (seg,), jnp.uint32)
-    for t in range(p):
-        byte = byte | (parts[..., t, :] << (num_bits * t))
-    return byte.astype(jnp.uint8)
+    codes = codes.astype(jnp.uint32)
+    outs = []
+    for w, shift in halfsplit_planes(num_bits):
+        field = (codes >> shift) & ((1 << w) - 1)
+        p = 8 // w
+        assert c % p == 0, (c, p)
+        seg = c // p
+        parts = field.reshape(*codes.shape[:-1], p, seg)
+        byte = jnp.zeros(codes.shape[:-1] + (seg,), jnp.uint32)
+        for t in range(p):
+            byte = byte | (parts[..., t, :] << (w * t))
+        outs.append(byte.astype(jnp.uint8))
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
 
 
 def unpack_codes_halfsplit(packed: jax.Array, num_bits: int,
                            c: int, out_dtype=jnp.int32) -> jax.Array:
     """Inverse of :func:`pack_codes_halfsplit`."""
-    p = 8 // num_bits
-    seg = c // p
-    b = packed.astype(out_dtype)
-    mask = (1 << num_bits) - 1
-    parts = [(b >> (num_bits * t)) & mask for t in range(p)]
-    return jnp.concatenate(parts, axis=-1)[..., :c]
+    code = None
+    off = 0
+    for w, shift in halfsplit_planes(num_bits):
+        p = 8 // w
+        seg = c // p
+        b = packed[..., off:off + seg].astype(out_dtype)
+        off += seg
+        mask = (1 << w) - 1
+        parts = [(b >> (w * t)) & mask for t in range(p)]
+        field = jnp.concatenate(parts, axis=-1)[..., :c] << shift
+        code = field if code is None else code | field
+    return code
 
 
 def unpack_codes(packed: jax.Array, num_bits: int, c: int,
@@ -199,22 +229,38 @@ def encode_float(x: jax.Array, fmt: Format,
 
 def decode_float(code: jax.Array, fmt: Format,
                  dtype=jnp.float32) -> jax.Array:
-    """Decode integer codes back to floating point."""
+    """Decode integer codes back to floating point.
+
+    Fast path (e <= 7): place the exp|mant fields into the f32
+    exponent/mantissa slots with ONE shift+add and bitcast —
+    ``bits = (mag << (23-m)) + ((127-bias) << 23)`` decodes every normal
+    exactly; the subnormal rows (exp_field == 0) come out as
+    ``2^-bias * (1 + mant/2^m)`` and one fused multiply-add fixes them to
+    the true ``2^(1-bias) * mant/2^m``.  ~8 integer/VPU ops per value and
+    bit-exact — vs the naive exp2/select decode chain (~30 ops with a
+    transcendental), which is what made packed-float weight-only matmul
+    VPU-bound (benchmarks/tpu_v5e_small_m.txt float6 row).  e == 8 formats
+    would hit the f32 inf boundary and keep the exp2 path."""
     e, m, bias = fmt.exponent, fmt.mantissa, fmt.bias
     code = code.astype(jnp.int32)
     if not fmt.is_unsigned:
         sign = (code >> (e + m)) & 1
-        code = code & ((1 << (e + m)) - 1)
+        mag = code & ((1 << (e + m)) - 1)
     else:
         sign = None
-    exp_field = code >> m
-    mant = (code & ((1 << m) - 1)).astype(jnp.float32)
-    # normal: (1 + mant/2^m) * 2^(exp_field - bias)
-    # subnormal (exp_field == 0): mant * 2^(1 - bias - m)
-    normal = (1.0 + mant * np.float32(2.0 ** -m)) * jnp.exp2(
-        (exp_field - bias).astype(jnp.float32))
-    subnormal = mant * np.float32(2.0 ** (1 - bias - m))
-    val = jnp.where(exp_field == 0, subnormal, normal)
+        mag = code
+    if e <= 7:
+        bits = (mag << (23 - m)) + ((127 - bias) << 23)
+        raw = jax.lax.bitcast_convert_type(bits, jnp.float32)
+        val = jnp.where(mag < (1 << m),
+                        2.0 * raw - np.float32(2.0 ** (1 - bias)), raw)
+    else:
+        exp_field = mag >> m
+        mant = (mag & ((1 << m) - 1)).astype(jnp.float32)
+        normal = (1.0 + mant * np.float32(2.0 ** -m)) * jnp.exp2(
+            (exp_field - bias).astype(jnp.float32))
+        subnormal = mant * np.float32(2.0 ** (1 - bias - m))
+        val = jnp.where(exp_field == 0, subnormal, normal)
     if sign is not None:
         val = jnp.where(sign == 1, -val, val)
     return val.astype(dtype)

@@ -57,9 +57,10 @@ class QuantMeta:
     use_quantized_matmul: bool
     re_quantize_for_matmul: bool  # storage cannot feed the MXU directly
     dequant_dtype: str = "bfloat16"
-    # "bitplane" (any width) or "halfsplit" (2/4-bit ints): the halfsplit
-    # matmul layout decodes at ~1 VPU op/value, which is what makes the
-    # small-batch weight-only kernel HBM-bound instead of VPU-bound on TPU
+    # "bitplane" (any width) or "halfsplit" (widths 1..7): the halfsplit
+    # matmul layout decodes at ~1 VPU op per value per plane, which is what
+    # makes the small-batch weight-only kernel HBM-bound instead of
+    # VPU-bound on TPU (minifloats add the ~8-op bitcast decode)
     pack_layout: str = "bitplane"
 
     @property
@@ -259,12 +260,16 @@ def quantize_tensor(
         sr_bits = None
         if use_stochastic_rounding and rng is not None and not fmt.is_integer:
             sr_bits = jax.random.bits(rng, q.shape, jnp.uint32).reshape(lead, -1)
-        # 2/4-bit integers use the half-split matmul layout (decode is one
-        # shift+mask per value — the VPU-bound small-batch regime's
-        # requirement; see packing.pack_codes_halfsplit)
-        if fmt.is_integer and fmt.code_bits in (2, 4) \
-                and flat_c % (8 // fmt.code_bits) == 0:
-            pack_layout = "halfsplit"
+        # sub-byte weights use the half-split matmul layout (decode is one
+        # shift+mask per value per field plane — the VPU-bound small-batch
+        # regime's requirement; see packing.pack_codes_halfsplit).
+        # Minifloats ride the same layout: their codes decode via the
+        # bitcast fast path in the group-dot kernel (packing.decode_float)
+        from .packing import halfsplit_planes
+        if fmt.code_bits < 8:
+            pmax = max(8 // w for w, _ in halfsplit_planes(fmt.code_bits))
+            if flat_c % pmax == 0:
+                pack_layout = "halfsplit"
         qdata = _pack(q.reshape(lead, -1), fmt, sr_bits=sr_bits,
                       layout=pack_layout)
     else:

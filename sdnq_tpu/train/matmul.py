@@ -32,7 +32,7 @@ import jax.numpy as jnp
 
 from ..formats import get_format
 from ..kernels.scaled_mm import scaled_mm, scaled_mm_fused_act, \
-    bf16_scaled_mm
+    bf16_scaled_mm, dynamic_mm_tn
 from ..quant.core import quantize_fp_mm, quantize_int_mm, quantize_uint_mm
 from ..tensor import QTensor, dequantize
 from ..layers import _quantized_matmul_2d, _weight_only_linear_2d
@@ -175,6 +175,40 @@ def _dynamic_int8_mm(a, b_t, out_dtype=jnp.float32):
     return _dynamic_mm(a, b_t, "int8", out_dtype)
 
 
+def _dynamic_mm_nn(a: jax.Array, b: jax.Array, mm_fmt: str = "int8",
+                   out_dtype=jnp.float32) -> jax.Array:
+    """a (M, C) fp × b (C, N) fp -> (M, N) contracting b's *leading* axis:
+    the grad-input GEMM in natural layouts.  b is quantized columnwise (per
+    out-col n, one fused XLA reduce — no (C, N) transpose materialized); a
+    quantizes per-row in the fused kernel prologue."""
+    f = get_format(mm_fmt)
+    a = a.astype(jnp.float32)
+    bf = b.astype(jnp.float32)
+    if f.is_integer and not f.is_unsigned:
+        b_q, b_s = quantize_int_mm(bf, axis=0)
+        return scaled_mm_fused_act(a, b_q, b_s.reshape(-1), None,
+                                   x_fmt="int8", out_dtype=out_dtype,
+                                   b_layout="nn")
+    if f.is_integer:
+        # asymmetric b (per col n): b = b_q·s + zp ⇒ out += rowsum(a) ⊗ zp
+        b_q, b_s, b_zp = quantize_uint_mm(bf, axis=0)
+        u = jnp.sum(a, axis=1, keepdims=True)
+        v = b_zp.reshape(1, -1).astype(jnp.float32)
+        return scaled_mm_fused_act(a, b_q, b_s.reshape(-1), None,
+                                   x_fmt="int8", out_dtype=out_dtype,
+                                   b_layout="nn", lowrank_u=u, lowrank_v=v)
+    if f.num_bits == 8:
+        b_q, b_s = quantize_fp_mm(bf, axis=0, fmt=f)
+        return scaled_mm_fused_act(a, b_q, b_s.reshape(-1), None,
+                                   x_fmt=f.name, out_dtype=out_dtype,
+                                   b_layout="nn")
+    acc = jax.lax.dot_general(a.astype(jnp.bfloat16),
+                              bf.astype(jnp.bfloat16),
+                              (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    return acc.astype(out_dtype)
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def _train_linear(x2d, delta, qt, bias, save_q_acts, use_quantized_matmul):
     return _fwd_value(x2d, qt, bias, use_quantized_matmul)
@@ -195,19 +229,22 @@ def _train_linear_fwd(x2d, delta, qt, bias, save_q_acts,
     dtype_token = jnp.zeros((0,), x2d.dtype)
     b_marker = None if bias is None else jnp.zeros((0,), jnp.float32)
     if save_q_acts:
-        # pre-quantize along the grad-weight contraction (rows of x), in
-        # the layer's own matmul-dtype family (reference saves int8 in the
-        # int8 _ckpt variant, fp8 in the fp8 one, …: linear_*_ckpt.py)
+        # pre-quantize along the grad-weight contraction — columnwise (per
+        # feature k, over the token axis M) in *natural* (M, K) layout: the
+        # TN grad-weight kernel contracts leading axes, so no transpose is
+        # ever materialized.  Saved in the layer's own matmul-dtype family
+        # (reference saves int8 in the int8 _ckpt variant, fp8 in the fp8
+        # one, …: linear_*_ckpt.py)
         f = get_format(qt.meta.matmul_fmt)
-        xt = x2d.astype(jnp.float32).T
+        xf = x2d.astype(jnp.float32)
         if f.is_integer and not f.is_unsigned:
-            saved = quantize_int_mm(xt, axis=-1)
+            saved = quantize_int_mm(xf, axis=0)
         elif f.is_integer:
-            saved = quantize_uint_mm(xt, axis=-1)
+            saved = quantize_uint_mm(xf, axis=0)
         elif f.num_bits == 8:
-            saved = quantize_fp_mm(xt, axis=-1, fmt=f)
+            saved = quantize_fp_mm(xf, axis=0, fmt=f)
         else:
-            saved = (xt.astype(jnp.bfloat16),)
+            saved = (xf.astype(jnp.bfloat16),)
     else:
         saved = (x2d,)
     return y, (saved, qt, b_marker, dtype_token)
@@ -250,8 +287,8 @@ def _train_linear_bwd(save_q_acts, use_quantized_matmul, res, g):
             v_rows.append(qt.svd_down.astype(jnp.float32))
         u = jnp.concatenate(u_cols, axis=-1) if u_cols else None
         v = jnp.concatenate(v_rows, axis=0) if v_rows else None
-        gx = scaled_mm_fused_act(gs, w_q.T, None, None, x_fmt="int8",
-                                 out_dtype=jnp.float32,
+        gx = scaled_mm_fused_act(gs, w_q, None, None, x_fmt="int8",
+                                 out_dtype=jnp.float32, b_layout="nn",
                                  lowrank_u=u, lowrank_v=v)
         if meta.use_hadamard:
             # fwd rotated x; W lives in rotated space, so rotate the
@@ -262,32 +299,17 @@ def _train_linear_bwd(save_q_acts, use_quantized_matmul, res, g):
         w_deq = dequantize(qt, jnp.float32)
         if w_deq.ndim > 2:
             w_deq = w_deq.reshape(w_deq.shape[0], -1)
-        gx = _dynamic_mm(g2d, w_deq.T, mm_fmt)
+        gx = _dynamic_mm_nn(g2d, w_deq, mm_fmt)
 
-    # grad_weight = gᵀ @ x
-    if save_q_acts:
-        f = get_format(mm_fmt)
-        gt = g2d.T
-        if f.is_integer and not f.is_unsigned:
-            xq, xs = saved
-            gw = scaled_mm_fused_act(gt, xq, xs, None, x_fmt="int8",
-                                     out_dtype=jnp.float32)
-        elif f.is_integer:
-            xq, xs, xzp = saved
-            z0, z1 = _uint8_zp_rows(xq, xs, xzp, gt.shape[-1])
-            gw = scaled_mm_fused_act(gt, xq, xs, None, x_fmt="uint8",
-                                     out_dtype=jnp.float32,
-                                     v_zp0=z0, v_zp1=z1)
-        elif f.num_bits == 8:
-            xq, xs = saved
-            gw = scaled_mm_fused_act(gt, xq, xs, None, x_fmt=f.name,
-                                     out_dtype=jnp.float32)
-        else:
-            gw = bf16_scaled_mm(gt, saved[0], None, None, None,
-                                out_dtype=jnp.float32)
+    # grad_weight = gᵀ @ x: TN kernel contracting the token axis of both
+    # operands in natural layout; g quantizes columnwise per out-row n.
+    f = get_format(mm_fmt)
+    if save_q_acts and not (f.is_integer or f.num_bits == 8):
+        gw = dynamic_mm_tn(g2d, saved[0], mm_fmt)
+    elif save_q_acts:
+        gw = dynamic_mm_tn(g2d, None, mm_fmt, saved_b=saved)
     else:
-        x2d = saved[0].astype(jnp.float32)
-        gw = _dynamic_mm(g2d.T, x2d.T, mm_fmt)
+        gw = dynamic_mm_tn(g2d, saved[0].astype(jnp.float32), mm_fmt)
     gw = gw.reshape(qt.meta.original_shape)
 
     gb = jnp.sum(g2d, axis=0) if b_marker is not None else None
@@ -362,8 +384,8 @@ def _dyn_fwd(x2d, w, bias, fmt):
 def _dyn_bwd(fmt, res, g):
     x2d, w, has_bias = res
     g2d = g.astype(jnp.float32)
-    gx = _dynamic_mm(g2d, w.astype(jnp.float32).T, fmt)
-    gw = _dynamic_mm(g2d.T, x2d.astype(jnp.float32).T, fmt)
+    gx = _dynamic_mm_nn(g2d, w.astype(jnp.float32), fmt)
+    gw = dynamic_mm_tn(g2d, x2d.astype(jnp.float32), fmt)
     gb = jnp.sum(g2d, axis=0) if has_bias else None
     return gx.astype(x2d.dtype), gw.astype(w.dtype), gb
 

@@ -240,7 +240,8 @@ def test_groupdot_dequant_matmul(interpret, fmt_name, g, mode):
     wq = pack(jnp.asarray(q, jnp.int32), fmt, layout="halfsplit")
     out = _groupdot_mm_pallas(
         x, wq, jnp.asarray(scale), None if zp is None else jnp.asarray(zp),
-        jnp.asarray(bias), code_bits=fmt.code_bits, code_min=int(fmt.min),
+        jnp.asarray(bias), fmt_name=fmt.name, code_bits=fmt.code_bits,
+        code_min=int(fmt.min), is_float=not fmt.is_integer,
         group_size=g, out_dtype=jnp.dtype(jnp.float32))
     wd = q.reshape(o, ngroups, g) * scale[..., None]
     if zp is not None:
@@ -276,3 +277,67 @@ def test_dequant_matmul_halfsplit_dispatch(interpret):
         del os.environ["SDNQ_TPU_DEQUANT_MATERIALIZE_ROWS"]
     np.testing.assert_allclose(np.asarray(out2), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("backend_fixture", ["xla", "interpret"])
+def test_scaled_mm_tn(request, backend_fixture):
+    """TN kernel (leading-axis contraction, the grad-weight orientation)
+    matches a dense int64 reference with columnwise scales."""
+    request.getfixturevalue(backend_fixture)
+    from sdnq_tpu.kernels.scaled_mm import scaled_mm_tn
+    rng = np.random.default_rng(11)
+    m, n, k = 192, 128, 256  # M not a multiple of the tile: pad path
+    a = rng.integers(-127, 128, (m, n)).astype(np.int8)
+    b = rng.integers(-127, 128, (m, k)).astype(np.int8)
+    a_s = rng.uniform(0.01, 0.02, (n,)).astype(np.float32)
+    b_s = rng.uniform(0.01, 0.02, (k,)).astype(np.float32)
+    u = rng.normal(size=(n, 2)).astype(np.float32)
+    v = rng.normal(size=(2, k)).astype(np.float32)
+    out = scaled_mm_tn(jnp.asarray(a), jnp.asarray(b), jnp.asarray(a_s),
+                       jnp.asarray(b_s), out_dtype=jnp.float32,
+                       lowrank_u=jnp.asarray(u), lowrank_v=jnp.asarray(v))
+    ref = (a.astype(np.int64).T @ b.astype(np.int64)
+           * a_s[:, None] * b_s[None, :] + u @ v)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-3)
+
+
+@pytest.mark.parametrize("fmt", ["int8", "uint8", "float8_e4m3fn", "bf16"])
+@pytest.mark.parametrize("backend_fixture", ["xla", "interpret"])
+def test_dynamic_mm_tn_families(request, backend_fixture, fmt):
+    """dynamic_mm_tn ≈ dense aᵀ @ b for every matmul-dtype family (the
+    dtype-faithful grad-weight GEMM)."""
+    request.getfixturevalue(backend_fixture)
+    from sdnq_tpu.kernels.scaled_mm import dynamic_mm_tn
+    rng = np.random.default_rng(12)
+    m, n, k = 160, 128, 256
+    a = rng.normal(size=(m, n)).astype(np.float32)
+    b = rng.normal(size=(m, k)).astype(np.float32) + 0.3
+    out = dynamic_mm_tn(jnp.asarray(a), jnp.asarray(b), fmt,
+                        out_dtype=jnp.float32)
+    ref = a.T @ b
+    scale = np.abs(ref).max()
+    # fp8 e4m3 carries 3 mantissa bits (~6% element resolution); the int
+    # families quantize to 1/255 of the column range
+    tol = 6e-2 if fmt.startswith("float8") else 2.5e-2
+    assert np.abs(np.asarray(out) - ref).max() / scale < tol
+
+
+@pytest.mark.parametrize("backend_fixture", ["xla", "interpret"])
+def test_scaled_mm_fused_act_nn(request, backend_fixture):
+    """NN orientation (contract b's leading axis — the grad-input GEMM on
+    the natural (O, K) stored weight) == NT on the transposed operand."""
+    request.getfixturevalue(backend_fixture)
+    from sdnq_tpu.kernels.scaled_mm import scaled_mm_fused_act
+    rng = np.random.default_rng(13)
+    m, c, n = 64, 256, 128
+    x = rng.normal(size=(m, c)).astype(np.float32)
+    w = rng.integers(-127, 128, (c, n)).astype(np.int8)
+    ws = rng.uniform(0.01, 0.02, (n,)).astype(np.float32)
+    out = scaled_mm_fused_act(jnp.asarray(x), jnp.asarray(w),
+                              jnp.asarray(ws), None, x_fmt="int8",
+                              out_dtype=jnp.float32, b_layout="nn")
+    ref = scaled_mm_fused_act(jnp.asarray(x), jnp.asarray(w.T.copy()),
+                              jnp.asarray(ws), None, x_fmt="int8",
+                              out_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-4)

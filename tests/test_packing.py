@@ -111,7 +111,7 @@ def test_subnormal_handling():
     assert dec[3] == 0.0  # 0.4 ulp rounds to zero
 
 
-@pytest.mark.parametrize("bits", [2, 4])
+@pytest.mark.parametrize("bits", [1, 2, 3, 4, 5, 6, 7])
 def test_halfsplit_roundtrip(bits):
     from sdnq_tpu.packing import pack_codes_halfsplit, unpack_codes_halfsplit
     rng = np.random.default_rng(bits)
@@ -146,3 +146,58 @@ def test_pack_halfsplit_layout_int4():
     packed = pack(q, fmt, layout="halfsplit")
     out = unpack(packed, fmt, 64, dtype=jnp.int32, layout="halfsplit")
     np.testing.assert_array_equal(np.asarray(out), np.asarray(q))
+
+
+@pytest.mark.parametrize("fname", ["float6_e3m2fn", "float4_e2m1fn",
+                                   "float5_e2m2fn", "int3", "uint5",
+                                   "uint7", "int6"])
+def test_pack_halfsplit_all_widths(fname):
+    """pack/unpack round-trip through the generalized half-split layout
+    (widths 1..7; minifloats ride the integer code planes)."""
+    from sdnq_tpu.packing import pack, unpack, encode_float, decode_float
+    from sdnq_tpu.formats import get_format
+    fmt = get_format(fname)
+    rng = np.random.default_rng(3)
+    if fmt.is_integer:
+        q = jnp.asarray(rng.integers(int(fmt.min), int(fmt.max) + 1,
+                                     (4, 128)), jnp.int32)
+        expect = np.asarray(q)
+    else:
+        raw = jnp.asarray(rng.normal(size=(4, 128)).astype(np.float32))
+        q = decode_float(encode_float(raw, fmt), fmt)
+        expect = np.asarray(q)
+    packed = pack(q, fmt, layout="halfsplit")
+    assert packed.dtype == jnp.uint8
+    assert packed.shape == (4, 128 * fmt.code_bits // 8)
+    out = unpack(packed, fmt, 128,
+                 dtype=jnp.int32 if fmt.is_integer else jnp.float32,
+                 layout="halfsplit")
+    np.testing.assert_array_equal(np.asarray(out), expect)
+
+
+def test_decode_float_bitcast_fast_path():
+    """The e<=7 bitcast decode must agree with the exp2 reference decode
+    on every code of several formats (incl. subnormals and negatives)."""
+    from sdnq_tpu.packing import decode_float
+    from sdnq_tpu.formats import get_format
+    for fname in ["float6_e3m2fn", "float4_e2m1fn", "float7_e4m2fn",
+                  "float6_e2m3fn", "float5_e3m2fnu"]:
+        fmt = get_format(fname)
+        codes = jnp.arange(2 ** fmt.code_bits, dtype=jnp.int32)
+        got = np.asarray(decode_float(codes, fmt))
+        e, m, bias = fmt.exponent, fmt.mantissa, fmt.bias
+        c = np.arange(2 ** fmt.code_bits)
+        if not fmt.is_unsigned:
+            sign = (c >> (e + m)) & 1
+            mag = c & ((1 << (e + m)) - 1)
+        else:
+            sign, mag = None, c
+        exp_field = mag >> m
+        mant = (mag & ((1 << m) - 1)).astype(np.float64)
+        normal = (1.0 + mant * 2.0 ** -m) * 2.0 ** (exp_field - bias)
+        subnormal = mant * 2.0 ** (1 - bias - m)
+        ref = np.where(exp_field == 0, subnormal, normal)
+        if sign is not None:
+            ref = np.where(sign == 1, -ref, ref)
+        np.testing.assert_array_equal(got, ref.astype(np.float32),
+                                      err_msg=fname)
