@@ -228,10 +228,10 @@ def _scaled_mm_pallas(x_q, w_q, x_scale, w_scale, bias, u=None, v=None,
 # ---------------------------------------------------------------------------
 
 def _fused_act_mm_kernel(x_ref, w_ref, ws_ref, bias_ref, u_ref, v_ref,
-                         vz0_ref, vz1_ref, out_ref,
+                         vz0_ref, vz1_ref, cs_ref, out_ref,
                          xq_ref, xs_ref, rs_ref, zp_ref, *, qmax, acc_dtype,
                          has_ws, has_bias, has_uv, asym, fuse_fp8,
-                         b_dim0):
+                         b_dim0, has_cs):
     j = pl.program_id(1)
     bm, kdim = x_ref.shape
     # quantize in row chunks: (rc, K) f32 temporaries must fit scoped vmem.
@@ -245,6 +245,12 @@ def _fused_act_mm_kernel(x_ref, w_ref, ws_ref, bias_ref, u_ref, v_ref,
     def _():
         for r0 in range(0, bm, rc):
             x = x_ref[r0:r0 + rc, :].astype(jnp.float32)
+            if has_cs:
+                # columnwise prescale fused into the quantize prologue
+                # (grad-input path: the cotangent is scaled by the
+                # weight's per-row scales before quantization — saves a
+                # full HBM round-trip of the scaled cotangent)
+                x = x * cs_ref[:].astype(jnp.float32)
             if asym:
                 # asymmetric per-row against the signed range: the int8 MXU
                 # sees x_i8 with x = x_i8*scale + zp  (quant/core.py
@@ -296,12 +302,12 @@ def _fused_act_mm_kernel(x_ref, w_ref, ws_ref, bias_ref, u_ref, v_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("x_fmt", "out_dtype", "bm", "bn", "b_dim0"),
+    static_argnames=("x_fmt", "out_dtype", "bm", "bn", "b_dim0", "emit_q"),
 )
 def _fused_act_mm_pallas(x, w_q, w_scale, bias, u=None, v=None,
-                         v_zp0=None, v_zp1=None,
+                         v_zp0=None, v_zp1=None, colscale=None,
                          x_fmt="int8", out_dtype=jnp.bfloat16,
-                         bm=0, bn=0, b_dim0=False):
+                         bm=0, bn=0, b_dim0=False, emit_q=False):
     """x (M, K) float; w_q (O, K) int8/fp8 — or (K, O) with ``b_dim0=True``
     (contract w's leading axis: the grad-input "NN" orientation, which reads
     the stored weight in its natural layout instead of materializing an
@@ -328,7 +334,10 @@ def _fused_act_mm_pallas(x, w_q, w_scale, bias, u=None, v=None,
     if bm == 0 or bn == 0:
         bn = bn or 512
         if bm == 0:
-            bm = 512
+            # NN orientation streams (kdim, bn) w-slabs whose lane dim is
+            # only bn wide; a taller x block amortizes the slab loads
+            # (measured 122 vs 98 TF at the 8192^2x4096 training shape)
+            bm = 1024 if b_dim0 else 512
             while bm > 64 and (bm * kdim * (2 * x.dtype.itemsize + 13)
                                + 2 * bn * kdim * w_q.dtype.itemsize
                                + 2 * bm * bn * 4) > 100 * 2 ** 20:
@@ -347,43 +356,66 @@ def _fused_act_mm_pallas(x, w_q, w_scale, bias, u=None, v=None,
     v_in = v if has_uv else jnp.zeros((r, o), jnp.float32)
     z0 = (v_zp0.reshape(1, -1) if asym else jnp.zeros((1, o), jnp.float32))
     z1 = (v_zp1.reshape(1, -1) if asym else jnp.zeros((1, o), jnp.float32))
+    has_cs = colscale is not None
+    cs = (colscale.reshape(1, -1) if has_cs
+          else jnp.zeros((1, kdim), jnp.float32))
 
     kernel = functools.partial(
         _fused_act_mm_kernel, qmax=qmax, acc_dtype=acc_dtype,
         has_ws=has_ws, has_bias=has_bias, has_uv=has_uv, asym=asym,
-        fuse_fp8=fuse_fp8, b_dim0=b_dim0)
+        fuse_fp8=fuse_fp8, b_dim0=b_dim0, has_cs=has_cs)
 
     flops = 2 * m * o * kdim
     bytes_accessed = (m * kdim * x.dtype.itemsize + o * kdim
                       + m * o * jnp.dtype(out_dtype).itemsize)
     row = lambda i, j: (0, j)  # noqa: E731
+    in_specs_list = [
+        pl.BlockSpec((bm_, kdim), lambda i, j: (i, 0),
+                     memory_space=pltpu.VMEM),
+        (pl.BlockSpec((kdim, bn_), lambda i, j: (0, j),
+                      memory_space=pltpu.VMEM) if b_dim0 else
+         pl.BlockSpec((bn_, kdim), lambda i, j: (j, 0),
+                      memory_space=pltpu.VMEM)),
+        pl.BlockSpec((1, bn_), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bn_), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((bm_, r), lambda i, j: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((r, bn_), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bn_), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bn_), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, kdim), lambda i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    # With emit_q the in-kernel rowwise-quantized x (and its scales) is
+    # written back to HBM as two extra outputs — the ckpt-training residual
+    # comes out of the forward kernel for free (one (M, K) int8 store)
+    # instead of a separate full quantize pass over x.
+    out_specs = pl.BlockSpec((bm_, bn_), lambda i, j: (i, j),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((m, o), out_dtype)
+    xq_spec = pl.BlockSpec((bm_, kdim), lambda i, j: (i, 0),
+                           memory_space=pltpu.VMEM)
+    xs_spec = pl.BlockSpec((bm_, 1), lambda i, j: (i, 0),
+                           memory_space=pltpu.VMEM)
+    scratch = [
+        pltpu.VMEM((bm_, kdim), qdt),        # quantized x
+        pltpu.VMEM((bm_, 1), jnp.float32),   # row scales
+        pltpu.VMEM((bm_, 1), jnp.float32),   # rowsum * scale (asym)
+        pltpu.VMEM((bm_, 1), jnp.float32),   # row zero points (asym)
+    ]
+    if emit_q:
+        out_specs = [out_specs, xq_spec, xs_spec]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((m, kdim), qdt),
+                     jax.ShapeDtypeStruct((m, 1), jnp.float32)]
+        scratch = scratch[2:]
     return pl.pallas_call(
         kernel,
         grid=(n_i, n_j),
-        in_specs=[
-            pl.BlockSpec((bm_, kdim), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-            (pl.BlockSpec((kdim, bn_), lambda i, j: (0, j),
-                          memory_space=pltpu.VMEM) if b_dim0 else
-             pl.BlockSpec((bn_, kdim), lambda i, j: (j, 0),
-                          memory_space=pltpu.VMEM)),
-            pl.BlockSpec((1, bn_), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn_), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((bm_, r), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((r, bn_), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn_), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn_), row, memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((bm_, bn_), lambda i, j: (i, j),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m, o), out_dtype),
-        scratch_shapes=[
-            pltpu.VMEM((bm_, kdim), qdt),        # quantized x
-            pltpu.VMEM((bm_, 1), jnp.float32),   # row scales
-            pltpu.VMEM((bm_, 1), jnp.float32),   # rowsum * scale (asym)
-            pltpu.VMEM((bm_, 1), jnp.float32),   # row zero points (asym)
-        ],
+        in_specs=in_specs_list,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
             # the quantize prologue keeps (bm, K) f32 temporaries live;
@@ -394,7 +426,7 @@ def _fused_act_mm_pallas(x, w_q, w_scale, bias, u=None, v=None,
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0),
         interpret=pallas_interpret(),
-    )(x, w_q, ws, b, u_in, v_in, z0, z1)
+    )(x, w_q, ws, b, u_in, v_in, z0, z1, cs)
 
 
 # ---------------------------------------------------------------------------
@@ -542,10 +574,17 @@ def scaled_mm_tn(a_q: jax.Array, b_q: jax.Array,
 
     a_q (M, N) and b_q (M, K) int8/fp8/bf16 in natural storage; a_scale (N,)
     / b_scale (K,) columnwise scales.  lowrank_u (N, R) / lowrank_v (R, K)
-    carry the asymmetric zero-point cross terms as a fused epilogue."""
+    carry the asymmetric zero-point cross terms as a fused epilogue.
+
+    Routing: XLA's leading-axis int8 dot measures *faster* than the Pallas
+    TN kernel on v5e (123 vs 106 TF at the 8192^2x4096 training shape —
+    Mosaic transposes the int8 tiles on the VPU, XLA does it during the
+    HBM->VMEM relayout), and XLA fuses the columnwise-scale epilogue
+    anyway; the Pallas kernel is kept behind SDNQ_TPU_TN_MM_BLOCKS for
+    shapes where explicit tiling wins."""
     acc_dtype = jnp.int32 if a_q.dtype == jnp.int8 else jnp.float32
-    if use_pallas():
-        ov = env_blocks("SDNQ_TPU_TN_MM_BLOCKS", 3) or (0, 0, 0)
+    ov = env_blocks("SDNQ_TPU_TN_MM_BLOCKS", 3)
+    if use_pallas() and ov:
         return _scaled_mm_tn_pallas(
             a_q, b_q, a_scale, b_scale, lowrank_u, lowrank_v,
             out_dtype=jnp.dtype(out_dtype), acc_dtype=acc_dtype,
@@ -671,7 +710,9 @@ def scaled_mm_fused_act(x, w_q,
                         v_zp0: jax.Array | None = None,
                         v_zp1: jax.Array | None = None,
                         bm: int = 0, bn: int = 0,
-                        b_layout: str = "nt") -> jax.Array:
+                        b_layout: str = "nt",
+                        emit_quantized: bool = False,
+                        x_colscale: jax.Array | None = None):
     """``scaled_mm`` with the per-row activation quantization fused into the
     kernel prologue — x arrives in bf16/f32 and never round-trips through
     HBM as a separate quantized array (the reference fuses this via
@@ -685,12 +726,20 @@ def scaled_mm_fused_act(x, w_q,
     as-is when the cotangent plays the x role, with no int8 transpose
     materialized in HBM (reference linear_int8.py:125-163 calls a separate
     transposed-weight Triton kernel for this).
+    emit_quantized (symmetric int8/fp8, "nt" only): also return the
+    in-kernel rowwise-quantized x as ``(y, x_q (M, K), x_scale (M, 1))`` —
+    the save-quantized-activations training residual produced by the
+    forward kernel itself (one extra int8 store, no separate quantize
+    pass; the backward folds the row scales into the cotangent's
+    columnwise quantize — see train/matmul._train_linear_bwd).
     Falls back to quantize-then-scaled_mm off-TPU or for shapes the fused
     kernel does not support.
     """
     m, kdim = x.shape
     asym = x_fmt == "uint8"
     b_dim0 = b_layout == "nn"
+    if emit_quantized:
+        assert not asym and not b_dim0
     pad = (-kdim) % 128
     eligible = (use_pallas() and m >= 16 and kdim >= 256
                 and kdim + pad <= 16384
@@ -701,14 +750,23 @@ def scaled_mm_fused_act(x, w_q,
             x = jnp.pad(x, ((0, 0), (0, pad)))
             w_q = (jnp.pad(w_q, ((0, pad), (0, 0))) if b_dim0
                    else jnp.pad(w_q, ((0, 0), (0, pad))))
+            if x_colscale is not None:
+                x_colscale = jnp.pad(x_colscale.reshape(-1), (0, pad))
         if bm == 0 and bn == 0:
             bm, bn = env_blocks("SDNQ_TPU_FUSED_MM_BLOCKS", 2) or (0, 0)
-        return _fused_act_mm_pallas(
+        out = _fused_act_mm_pallas(
             x, w_q, w_scale, bias, lowrank_u, lowrank_v, v_zp0, v_zp1,
+            x_colscale,
             x_fmt=x_fmt, out_dtype=jnp.dtype(out_dtype), bm=bm, bn=bn,
-            b_dim0=b_dim0)
+            b_dim0=b_dim0, emit_q=emit_quantized)
+        if emit_quantized:
+            y, xq, xs = out
+            return y, (xq[:, :kdim] if pad else xq), xs
+        return out
 
     from ..quant.core import quantize_fp_mm, quantize_int_mm, quantize_uint_mm
+    if x_colscale is not None:
+        x = x.astype(jnp.float32) * x_colscale.reshape(1, -1)
     u, v = lowrank_u, lowrank_v
     if asym:
         x_q, x_scale, x_zp = quantize_uint_mm(x, axis=-1)
@@ -738,8 +796,11 @@ def scaled_mm_fused_act(x, w_q,
         if u is not None:
             out = out + u.astype(jnp.float32) @ v.astype(jnp.float32)
         return out.astype(out_dtype)
-    return scaled_mm(x_q, w_q, x_scale, w_scale, bias, out_dtype=out_dtype,
-                     lowrank_u=u, lowrank_v=v)
+    out = scaled_mm(x_q, w_q, x_scale, w_scale, bias, out_dtype=out_dtype,
+                    lowrank_u=u, lowrank_v=v)
+    if emit_quantized:
+        return out, x_q, x_scale.reshape(-1, 1)
+    return out
 
 
 def int8_mm(x_q, w_q, out_dtype=jnp.int32):

@@ -104,12 +104,19 @@ def _requantize_rowwise(qt: QTensor):
     return (wd / s).astype(jnp.bfloat16), s, None
 
 
-def _quantized_matmul_2d(x2d, qt: QTensor, bias, out_dtype):
+def _quantized_matmul_2d(x2d, qt: QTensor, bias, out_dtype,
+                         emit_quantized=False):
     """Core quantized GEMM on (M, C) input with all folds applied.
 
     The SVD correction and the uint8 zero-point algebra become rank-R
     epilogue terms of the fused kernel (scaled_mm lowrank_u/v) — one kernel
-    launch, no (M, O) bias materialization."""
+    launch, no (M, O) bias materialization.
+
+    emit_quantized (symmetric int8 / fp8 matmul formats only): return
+    ``(y, x_q, x_scale)`` with the kernel's rowwise-quantized input — the
+    activation residual for ckpt training.  NOTE: with use_hadamard the
+    emitted x_q is the *rotated* input; the grad-weight built from it lives
+    in rotated space and must be rotated back (train/matmul does this)."""
     meta = qt.meta
     mfmt = meta.matmul_format
 
@@ -157,6 +164,7 @@ def _quantized_matmul_2d(x2d, qt: QTensor, bias, out_dtype):
             #      + x_zp (x) [colsum(w_q)*w_s + K*w_zp]
             # The x-side factors are built inside the fused kernel's
             # quantize prologue; only the weight-side rows are precomputed.
+            assert not emit_quantized  # asym path: zp rows not emitted
             w_colsum = jnp.sum(w_q.astype(jnp.int32), axis=-1)[None, :] \
                 .astype(jnp.float32)
             wz = (jnp.zeros((1, w_q.shape[0]), jnp.float32)
@@ -168,12 +176,15 @@ def _quantized_matmul_2d(x2d, qt: QTensor, bias, out_dtype):
                 v_zp1=w_colsum * w_scale.reshape(1, -1) + float(kdim) * wz)
         return scaled_mm_fused_act(x2d, w_q, w_scale, bias, x_fmt="int8",
                                    out_dtype=out_dtype, lowrank_u=u,
-                                   lowrank_v=v)
+                                   lowrank_v=v,
+                                   emit_quantized=emit_quantized)
     if mfmt.num_bits == 8:
         return scaled_mm_fused_act(
             x2d, w_q.astype(jnp.float8_e4m3fn), w_scale, bias,
-            x_fmt=mfmt.name, out_dtype=out_dtype, lowrank_u=u, lowrank_v=v)
+            x_fmt=mfmt.name, out_dtype=out_dtype, lowrank_u=u, lowrank_v=v,
+            emit_quantized=emit_quantized)
     # 16-bit path: bf16 multiplies, fp32 accumulate; input unquantized
+    assert not emit_quantized
     u, v = finish_uv(m)
     return bf16_scaled_mm(x2d, w_q, None, w_scale, bias,
                           out_dtype=out_dtype, lowrank_u=u, lowrank_v=v)

@@ -153,7 +153,6 @@ def _dynamic_mm(a: jax.Array, b_t: jax.Array, mm_fmt: str = "int8",
     overflow-guard scaling).  The a-side quantize runs in the fused kernel
     prologue."""
     f = get_format(mm_fmt)
-    a = a.astype(jnp.float32)
     b_t = b_t.astype(jnp.float32)
     if f.is_integer and not f.is_unsigned:
         b_q, b_s = quantize_int_mm(b_t, axis=-1)
@@ -182,7 +181,6 @@ def _dynamic_mm_nn(a: jax.Array, b: jax.Array, mm_fmt: str = "int8",
     out-col n, one fused XLA reduce — no (C, N) transpose materialized); a
     quantizes per-row in the fused kernel prologue."""
     f = get_format(mm_fmt)
-    a = a.astype(jnp.float32)
     bf = b.astype(jnp.float32)
     if f.is_integer and not f.is_unsigned:
         b_q, b_s = quantize_int_mm(bf, axis=0)
@@ -192,7 +190,7 @@ def _dynamic_mm_nn(a: jax.Array, b: jax.Array, mm_fmt: str = "int8",
     if f.is_integer:
         # asymmetric b (per col n): b = b_q·s + zp ⇒ out += rowsum(a) ⊗ zp
         b_q, b_s, b_zp = quantize_uint_mm(bf, axis=0)
-        u = jnp.sum(a, axis=1, keepdims=True)
+        u = jnp.sum(a.astype(jnp.float32), axis=1, keepdims=True)
         v = b_zp.reshape(1, -1).astype(jnp.float32)
         return scaled_mm_fused_act(a, b_q, b_s.reshape(-1), None,
                                    x_fmt="int8", out_dtype=out_dtype,
@@ -214,20 +212,47 @@ def _train_linear(x2d, delta, qt, bias, save_q_acts, use_quantized_matmul):
     return _fwd_value(x2d, qt, bias, use_quantized_matmul)
 
 
-def _fwd_value(x2d, qt, bias, use_quantized_matmul):
+def _fwd_value(x2d, qt, bias, use_quantized_matmul, emit_quantized=False):
     if use_quantized_matmul and qt.meta.use_quantized_matmul \
             and x2d.shape[0] >= 32:
-        return _quantized_matmul_2d(x2d, qt, bias, jnp.bfloat16)
+        return _quantized_matmul_2d(x2d, qt, bias, jnp.bfloat16,
+                                    emit_quantized=emit_quantized)
+    assert not emit_quantized
     return _weight_only_linear_2d(x2d, qt, bias, jnp.bfloat16)
+
+
+def _fused_emit_eligible(qt, m_rows, use_quantized_matmul) -> bool:
+    """True when the forward takes the fused symmetric int8/fp8 static
+    matmul path, whose kernel can emit its rowwise-quantized input as the
+    ckpt residual (scaled_mm_fused_act emit_quantized) — trace-time
+    decidable, so forward and backward agree by construction."""
+    meta = qt.meta
+    if not (use_quantized_matmul and meta.use_quantized_matmul
+            and m_rows >= 32 and not meta.re_quantize_for_matmul):
+        return False
+    mfmt = meta.matmul_format
+    if mfmt.is_integer:
+        return (not mfmt.is_unsigned and qt.zero_point is None
+                and qt.qdata.dtype == jnp.int8)
+    return mfmt.num_bits == 8
 
 
 def _train_linear_fwd(x2d, delta, qt, bias, save_q_acts,
                       use_quantized_matmul):
-    y = _fwd_value(x2d, qt, bias, use_quantized_matmul)
     # structural markers: dtype rides in a zero-size token array; bias-ness
     # in None-vs-token structure (strings/dtypes are not pytree leaves)
     dtype_token = jnp.zeros((0,), x2d.dtype)
     b_marker = None if bias is None else jnp.zeros((0,), jnp.float32)
+    if save_q_acts and _fused_emit_eligible(qt, x2d.shape[0],
+                                            use_quantized_matmul):
+        # the forward kernel emits its own rowwise-quantized input (one
+        # extra int8 store; zero extra quantize passes).  The backward
+        # folds the row scales into the cotangent before its columnwise
+        # quantize: gw[n,k] = sum_m g[m,n]*s_x[m] * xq[m,k].
+        y, xq, xs = _fwd_value(x2d, qt, bias, use_quantized_matmul,
+                               emit_quantized=True)
+        return y, ((xq, xs), qt, b_marker, dtype_token)
+    y = _fwd_value(x2d, qt, bias, use_quantized_matmul)
     if save_q_acts:
         # pre-quantize along the grad-weight contraction — columnwise (per
         # feature k, over the token axis M) in *natural* (M, K) layout: the
@@ -252,7 +277,9 @@ def _train_linear_fwd(x2d, delta, qt, bias, save_q_acts,
 
 def _train_linear_bwd(save_q_acts, use_quantized_matmul, res, g):
     saved, qt, b_marker, dtype_token = res
-    g = g.astype(jnp.float32)
+    # keep the cotangent in its native (bf16) dtype: the kernels upcast
+    # per-chunk in VMEM — an eager astype(f32) would materialize a 2x
+    # larger copy in HBM and double the g read traffic of every bwd GEMM
     g2d = g.reshape(-1, g.shape[-1])
     mm_fmt = qt.meta.matmul_fmt
 
@@ -277,7 +304,6 @@ def _train_linear_bwd(save_q_acts, use_quantized_matmul, res, g):
         from ..layers import _weight_as_int8
         from ..quant.hadamard import rotate_hadamard
         w_q, w_s, w_zp = _weight_as_int8(qt)
-        gs = g2d * w_s.reshape(1, -1)
         u_cols, v_rows = [], []
         if w_zp is not None:
             u_cols.append(g2d @ w_zp.reshape(-1, 1))
@@ -287,9 +313,15 @@ def _train_linear_bwd(save_q_acts, use_quantized_matmul, res, g):
             v_rows.append(qt.svd_down.astype(jnp.float32))
         u = jnp.concatenate(u_cols, axis=-1) if u_cols else None
         v = jnp.concatenate(v_rows, axis=0) if v_rows else None
-        gx = scaled_mm_fused_act(gs, w_q, None, None, x_fmt="int8",
-                                 out_dtype=jnp.float32, b_layout="nn",
-                                 lowrank_u=u, lowrank_v=v)
+        # the g·w_s prescale rides the kernel's quantize prologue
+        # (x_colscale) — no scaled copy of the cotangent hits HBM; the
+        # output is written directly in the caller's dtype (a f32 write +
+        # recast would cost two extra (M, K) HBM passes)
+        gx = scaled_mm_fused_act(g2d, w_q, None, None, x_fmt="int8",
+                                 out_dtype=dtype_token.dtype,
+                                 b_layout="nn",
+                                 lowrank_u=u, lowrank_v=v,
+                                 x_colscale=w_s.reshape(-1))
         if meta.use_hadamard:
             # fwd rotated x; W lives in rotated space, so rotate the
             # cotangent back (normalized Hadamard is its own inverse)
@@ -299,12 +331,34 @@ def _train_linear_bwd(save_q_acts, use_quantized_matmul, res, g):
         w_deq = dequantize(qt, jnp.float32)
         if w_deq.ndim > 2:
             w_deq = w_deq.reshape(w_deq.shape[0], -1)
-        gx = _dynamic_mm_nn(g2d, w_deq, mm_fmt)
+        gx = _dynamic_mm_nn(g2d, w_deq, mm_fmt,
+                            out_dtype=dtype_token.dtype)
 
     # grad_weight = gᵀ @ x: TN kernel contracting the token axis of both
     # operands in natural layout; g quantizes columnwise per out-row n.
     f = get_format(mm_fmt)
-    if save_q_acts and not (f.is_integer or f.num_bits == 8):
+    if save_q_acts and _fused_emit_eligible(qt, g2d.shape[0],
+                                            use_quantized_matmul):
+        # residual = the forward kernel's own rowwise-quantized input
+        # (x = xq·s_x[m], post-Hadamard).  Fold the row scales into the
+        # cotangent so both TN operands are pure int8/fp8:
+        #   gw[n,k] = Σ_m (g[m,n]·s_x[m]) · xq[m,k]
+        from ..kernels.scaled_mm import scaled_mm_tn
+        from ..quant.hadamard import rotate_hadamard
+        xq, xs = saved
+        gf = g2d * xs.astype(jnp.float32)
+        if f.is_integer:
+            gq, gs = quantize_int_mm(gf, axis=0)
+        else:
+            gq, gs = quantize_fp_mm(gf, axis=0, fmt=f)
+        gw = scaled_mm_tn(gq, xq, gs.reshape(-1), None,
+                          out_dtype=jnp.float32)
+        if meta.use_hadamard:
+            # xq lives in rotated input space; rotate the grad back
+            # (normalized Hadamard is symmetric and its own inverse)
+            gw = rotate_hadamard(gw, meta.hadamard_group_size,
+                                 precision=jax.lax.Precision.DEFAULT)
+    elif save_q_acts and not (f.is_integer or f.num_bits == 8):
         gw = dynamic_mm_tn(g2d, saved[0], mm_fmt)
     elif save_q_acts:
         gw = dynamic_mm_tn(g2d, None, mm_fmt, saved_b=saved)
@@ -312,7 +366,8 @@ def _train_linear_bwd(save_q_acts, use_quantized_matmul, res, g):
         gw = dynamic_mm_tn(g2d, saved[0].astype(jnp.float32), mm_fmt)
     gw = gw.reshape(qt.meta.original_shape)
 
-    gb = jnp.sum(g2d, axis=0) if b_marker is not None else None
+    gb = (jnp.sum(g2d.astype(jnp.float32), axis=0)
+          if b_marker is not None else None)
 
     # zero cotangents for the QTensor leaves (non-differentiable storage)
     def zero_ct(leaf):

@@ -341,3 +341,63 @@ def test_scaled_mm_fused_act_nn(request, backend_fixture):
                               out_dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-4)
+
+
+@pytest.mark.parametrize("x_fmt", ["int8", "float8_e4m3fn"])
+@pytest.mark.parametrize("backend_fixture", ["xla", "interpret"])
+def test_scaled_mm_fused_act_emit_quantized(request, backend_fixture, x_fmt):
+    """emit_quantized returns the kernel's rowwise-quantized input: y must
+    equal the plain call, and dequant(xq)*xs must reconstruct x to the
+    format's rounding error."""
+    request.getfixturevalue(backend_fixture)
+    from sdnq_tpu.kernels.scaled_mm import scaled_mm_fused_act
+    rng = np.random.default_rng(17)
+    m, k, o = 64, 256, 128
+    x = rng.normal(size=(m, k)).astype(np.float32)
+    w = rng.integers(-127, 128, (o, k)).astype(np.int8)
+    ws = rng.uniform(0.01, 0.02, (o,)).astype(np.float32)
+    wq = jnp.asarray(w, jnp.float8_e4m3fn if x_fmt.startswith("float8")
+                     else jnp.int8)
+    y0 = scaled_mm_fused_act(jnp.asarray(x), wq, jnp.asarray(ws), None,
+                             x_fmt=x_fmt, out_dtype=jnp.float32)
+    y1, xq, xs = scaled_mm_fused_act(jnp.asarray(x), wq, jnp.asarray(ws),
+                                     None, x_fmt=x_fmt,
+                                     out_dtype=jnp.float32,
+                                     emit_quantized=True)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                               rtol=1e-5, atol=1e-4)
+    assert xq.shape == (m, k) and xs.shape == (m, 1)
+    recon = np.asarray(xq.astype(jnp.float32)) * np.asarray(xs)
+    tol = 0.08 if x_fmt.startswith("float8") else 0.02
+    assert np.abs(recon - x).max() <= tol * np.abs(x).max()
+
+
+@pytest.mark.parametrize("use_hadamard", [False, True])
+def test_train_ckpt_emit_grad_parity(interpret, use_hadamard):
+    """The fused-emit ckpt backward (fold row scales into the cotangent's
+    columnwise quantize) matches dense grads to int8 noise."""
+    import jax
+    from sdnq_tpu import quantize_tensor
+    from sdnq_tpu.tensor import dequantize
+    from sdnq_tpu.train import TrainQTensor, train_qlinear, grad
+    from sdnq_tpu.train.matmul import _fused_emit_eligible
+    rng = np.random.default_rng(19)
+    m, k, o = 64, 256, 128
+    x = jnp.asarray(rng.normal(size=(m, k)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(o, k)).astype(np.float32))
+    qt = quantize_tensor(w, "int8", use_quantized_matmul=True,
+                         group_size=-1, use_hadamard=use_hadamard)
+    assert _fused_emit_eligible(qt, m, True)
+    tp = TrainQTensor(qt=qt, delta=jnp.zeros(w.shape, jnp.float32))
+
+    def loss(x, tp):
+        y = train_qlinear(x, tp, save_quantized_activations=True)
+        return jnp.sum(y.astype(jnp.float32) ** 2)
+
+    gx, gtp = grad(loss, argnums=(0, 1))(x, tp)
+    wd = dequantize(qt, jnp.float32)
+    gx_r, gw_r = jax.grad(
+        lambda x, wd: jnp.sum((x @ wd.T) ** 2), argnums=(0, 1))(x, wd)
+    s = float(jnp.abs(gw_r).max())
+    assert float(jnp.abs(gtp.delta - gw_r).max()) / s < 0.04
+    assert float(jnp.abs(gx - gx_r).max()) / float(jnp.abs(gx_r).max()) < 0.04
