@@ -331,16 +331,31 @@ def _groupdot_kernel(x_ref, wq_ref, scale_t_ref, zp_t_ref, bias_ref, e_ref,
         offs.append(off)
         off += kdim // (8 // w)
 
+    # load + widen each plane's byte array ONCE (Mosaic does not CSE
+    # repeated ref loads: re-slicing wq_ref per field q costs a u8->i32
+    # convert per field — measured 2.4x slower at int2 small-M)
+    loaded = [None] * len(planes)
+
     def chunk_codes(q):
-        """Codes for values [q*seg, (q+1)*seg): one shift+mask per plane
-        (static byte sub-slices), one shift-or to recombine."""
+        """Codes for values [q*seg, (q+1)*seg): at most shift+mask per
+        plane (static sub-slices of the pre-widened plane; field 0 needs
+        no shift, the top field no mask — the load zero-extends), one
+        shift-or to recombine."""
         code = None
-        for (w, sh), o0 in zip(planes, offs):
+        for pi, ((w, sh), o0) in enumerate(zip(planes, offs)):
+            if loaded[pi] is None:
+                loaded[pi] = wq_ref[:, o0:o0 + kdim // (8 // w)] \
+                    .astype(jnp.int32)
             p_w = 8 // w
             t = q // (pmax // p_w)
             b0 = (q % (pmax // p_w)) * seg
-            chunk = wq_ref[:, o0 + b0:o0 + b0 + seg].astype(jnp.int32)
-            field = ((chunk >> (w * t)) & ((1 << w) - 1)) << sh
+            field = loaded[pi][:, b0:b0 + seg]
+            if t:
+                field = field >> (w * t)
+            if t != p_w - 1:
+                field = field & ((1 << w) - 1)
+            if sh:
+                field = field << sh
             code = field if code is None else code | field
         return code
 
@@ -425,7 +440,10 @@ def _groupdot_mm_pallas(x, wq, scale, zp, bias, *, fmt_name, code_bits,
     o = wq.shape[0]
     g = group_size if group_size > 0 else kdim
     n_groups = kdim // g
-    groupdot = g % 128 == 0 and n_groups <= 64
+    pmax_ = max(8 // w for w, _ in halfsplit_planes(code_bits))
+    # groups must stay within one field segment of the half-split layout
+    # (a wider group's dot slice would span fields — Mosaic rejects it)
+    groupdot = g % 128 == 0 and n_groups <= 64 and g <= kdim // pmax_
     has_zp = zp is not None
     has_bias = bias is not None
 
