@@ -32,7 +32,7 @@ from ..envconfig import env_blocks, vmem_limit_bytes
 from ..formats import Format, get_format
 from ..packing import decode_float
 
-__all__ = ["dequant_matmul"]
+__all__ = ["dequant_matmul", "packed_int8_matmul"]
 
 # VMEM budget for one block's resident operands (x + w rows, full K).
 _TILE_BUDGET = 4 * 1024 * 1024
@@ -500,6 +500,177 @@ def _groupdot_mm_pallas(x, wq, scale, zp, bias, *, fmt_name, code_bits,
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0),
         interpret=pallas_interpret(),
     )(x, wq, scale_t, zp_t, bias_in, e)
+
+
+# ---------------------------------------------------------------------------
+# Packed-weight int8 quantized matmul: per-row int8 activations against raw
+# sub-byte integer codes on the int8 MXU path, group scales applied to the
+# per-group partial i32 dots.  This replaces the reference's
+# re_quantize_matmul route (dequantizer.py:152: dequantize the group-wise
+# packed weight, re-quantize it ROW-wise to int8, materialize in memory) —
+# here nothing is materialized in HBM and the group-wise scales are kept,
+# so it is both faster and strictly more accurate than the re-quantized
+# rowwise operand.
+# ---------------------------------------------------------------------------
+
+def _groupdot_i8_kernel(xq_ref, wq_ref, scale_t_ref, zpc_t_ref, xs_ref,
+                        bias_ref, e_ref, out_ref, wdec_ref, *,
+                        planes: tuple, g: int, n_groups: int, kdim: int,
+                        has_bias: bool):
+    i = pl.program_id(1)
+    pmax = max(8 // w for w, _ in planes)
+    seg = kdim // pmax
+    offs, off = [], 0
+    for w, _ in planes:
+        offs.append(off)
+        off += kdim // (8 // w)
+    loaded = [None] * len(planes)
+
+    def chunk_codes(q):
+        code = None
+        for pi, ((w, sh), o0) in enumerate(zip(planes, offs)):
+            if loaded[pi] is None:
+                loaded[pi] = wq_ref[:, o0:o0 + kdim // (8 // w)] \
+                    .astype(jnp.int32)
+            p_w = 8 // w
+            t = q // (pmax // p_w)
+            b0 = (q % (pmax // p_w)) * seg
+            field = loaded[pi][:, b0:b0 + seg]
+            if t:
+                field = field >> (w * t)
+            if t != p_w - 1:
+                field = field & ((1 << w) - 1)
+            if sh:
+                field = field << sh
+            code = field if code is None else code | field
+        return code
+
+    @pl.when(i == 0)
+    def _():
+        # raw unsigned codes as int8 MXU operands (codes < 2^7 fit int8);
+        # code_min folds into the zero-point dot like the bf16 group-dot
+        for q in range(pmax):
+            wdec_ref[:, q * seg:(q + 1) * seg] = \
+                chunk_codes(q).astype(wdec_ref.dtype)
+
+    acc = None
+    for gi in range(n_groups):
+        a = gi * g
+        part = jax.lax.dot_general(
+            xq_ref[:, a:a + g], wdec_ref[:, a:a + g],
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)            # (BM, BN) i32
+        term = part.astype(jnp.float32) \
+            * scale_t_ref[gi:gi + 1, :].astype(jnp.float32)
+        acc = term if acc is None else acc + term
+    # zero-point + offset-binary minimum: one rank-G dot on int sums
+    xsum = jax.lax.dot_general(
+        xq_ref[:], e_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)                # (BM, G) i32
+    acc = acc + jax.lax.dot_general(
+        xsum.astype(jnp.float32), zpc_t_ref[:].astype(jnp.float32),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    acc = acc * xs_ref[:].astype(jnp.float32)            # per-row x scales
+    if has_bias:
+        acc = acc + bias_ref[:].astype(jnp.float32)
+    out_ref[:] = acc.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "code_bits", "code_min", "group_size", "out_dtype", "bm", "bn"))
+def _groupdot_i8_mm_pallas(xq, xs, wq, scale, zp, bias, *, code_bits,
+                           code_min, group_size, out_dtype, bm=512, bn=256):
+    from ..packing import halfsplit_planes
+    m, kdim = xq.shape
+    o = wq.shape[0]
+    g = group_size if group_size > 0 else kdim
+    n_groups = kdim // g
+    has_bias = bias is not None
+
+    bm_ = _pick_block(m, bm, 32)
+    bn_ = _pick_block(o, bn, 128)
+    n_i, n_j = pl.cdiv(m, bm_), pl.cdiv(o, bn_)
+
+    scale_t = jnp.transpose(scale).astype(jnp.float32)      # (G, O)
+    zpc_t = float(code_min) * scale_t
+    if zp is not None:
+        zpc_t = zpc_t + jnp.transpose(zp).astype(jnp.float32)
+    bias_in = (bias.reshape(1, -1) if has_bias
+               else jnp.zeros((1, o), jnp.float32))
+    e = (jnp.arange(kdim)[None, :] // g
+         == jnp.arange(n_groups)[:, None]).astype(jnp.int8)  # (G, K)
+
+    kernel = functools.partial(
+        _groupdot_i8_kernel, planes=tuple(halfsplit_planes(code_bits)),
+        g=g, n_groups=n_groups, kdim=kdim, has_bias=has_bias)
+
+    flops = 2 * m * o * kdim
+    bytes_accessed = (m * kdim + wq.size
+                      + m * o * jnp.dtype(out_dtype).itemsize)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_j, n_i),  # j outer: decoded weight tile reused across i
+        in_specs=[
+            pl.BlockSpec((bm_, kdim), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn_, kdim * code_bits // 8), lambda j, i: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_groups, bn_), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_groups, bn_), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm_, 1), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn_), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_groups, kdim), lambda j, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm_, bn_), lambda j, i: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, o), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bn_, kdim), jnp.int8)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=vmem_limit_bytes()),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0),
+        interpret=pallas_interpret(),
+    )(xq, wq, scale_t, zpc_t, xs, bias_in, e)
+
+
+def packed_int8_matmul(x: jax.Array, wq: jax.Array, scale: jax.Array,
+                       zero_point: jax.Array | None,
+                       bias: jax.Array | None, fmt: Format,
+                       group_size: int, out_dtype=jnp.bfloat16,
+                       pack_layout: str = "bitplane"):
+    """Quantized matmul on PACKED integer weights: x quantizes per-row to
+    int8, codes feed the int8 MXU raw, group scales apply to partial dots.
+
+    Returns None when the geometry/backend is unsupported (caller falls
+    back to the re-quantize-rowwise route, matching the reference's
+    dequantizer.re_quantize_matmul:152)."""
+    from ..packing import halfsplit_planes
+    from ..quant.core import quantize_int_mm
+    m, kdim = x.shape
+    g = group_size if group_size > 0 else kdim
+    if not (use_pallas() and pack_layout == "halfsplit" and fmt.is_integer
+            and fmt.is_packed and kdim % g == 0):
+        return None
+    pmax = max(8 // w for w, _ in halfsplit_planes(fmt.code_bits))
+    seg = kdim // pmax
+    n_groups = kdim // g
+    if not (seg % 128 == 0 and g % 128 == 0 and g <= seg
+            and n_groups <= 64 and kdim <= _MAX_K):
+        return None
+    xq, xs = quantize_int_mm(x.astype(jnp.float32), axis=-1)
+    ov = env_blocks("SDNQ_TPU_GROUPDOT_BLOCKS", 2)
+    kw = {"bm": ov[0], "bn": ov[1]} if ov else {}
+    return _groupdot_i8_mm_pallas(
+        xq, xs.reshape(-1, 1), wq, scale, zero_point, bias,
+        code_bits=fmt.code_bits, code_min=int(fmt.min),
+        group_size=group_size, out_dtype=jnp.dtype(out_dtype), **kw)
 
 
 def dequant_matmul(x: jax.Array, wq: jax.Array, scale: jax.Array,

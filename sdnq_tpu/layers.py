@@ -133,6 +133,34 @@ def _quantized_matmul_2d(x2d, qt: QTensor, bias, out_dtype,
         v_cols.append(qt.svd_up.T.astype(jnp.float32))
 
     if meta.re_quantize_for_matmul:
+        from .envconfig import env_int
+        packed_mm_max = env_int("SDNQ_TPU_PACKED_MM_MAX_ROWS", 8192)
+        if meta.is_packed and mfmt.is_integer and not mfmt.is_unsigned \
+                and not emit_quantized and x2d.shape[0] < packed_mm_max:
+            # packed int weights: fused kernel runs the int8 MXU dots on
+            # the raw sub-byte codes with GROUP-wise scales intact — no
+            # materialized re-quantized operand, strictly more accurate
+            # than the reference's rowwise re_quantize_matmul route
+            from .kernels.dequant_mm import packed_int8_matmul
+            scale = qt.scale.reshape(qt.scale.shape[0], -1)
+            zp = (qt.zero_point.reshape(scale.shape)
+                  if qt.zero_point is not None else None)
+            out = packed_int8_matmul(
+                x2d, qt.qdata, scale, zp, bias, meta.format,
+                x2d.shape[-1] // scale.shape[-1], out_dtype=out_dtype,
+                pack_layout=meta.pack_layout)
+            if out is not None:
+                if u_cols:
+                    u = jnp.concatenate(
+                        [c.reshape(x2d.shape[0], -1) for c in u_cols],
+                        axis=-1)
+                    v = jnp.concatenate(
+                        [c.reshape(-1, out.shape[-1]) for c in v_cols],
+                        axis=0)
+                    out = (out.astype(jnp.float32)
+                           + u.astype(jnp.float32) @ v.astype(jnp.float32)
+                           ).astype(out_dtype)
+                return out
         w_q, w_scale, w_zp = _requantize_rowwise(qt)
     else:
         if mfmt.is_integer:

@@ -401,3 +401,36 @@ def test_train_ckpt_emit_grad_parity(interpret, use_hadamard):
     s = float(jnp.abs(gw_r).max())
     assert float(jnp.abs(gtp.delta - gw_r).max()) / s < 0.04
     assert float(jnp.abs(gx - gx_r).max()) / float(jnp.abs(gx_r).max()) < 0.04
+
+
+@pytest.mark.parametrize("fmt_name,g", [("int4", 128), ("uint4", 128),
+                                        ("int2", 128), ("int3", 128)])
+def test_packed_int8_matmul(interpret, fmt_name, g):
+    """Fused packed-weight int8 quantized matmul (group scales on int8 MXU
+    partial dots) ≈ int8-quantized x against the dense dequantized weight."""
+    from sdnq_tpu.kernels.dequant_mm import packed_int8_matmul
+    from sdnq_tpu.quant.core import quantize_int_mm
+    fmt = get_format(fmt_name)
+    rng = np.random.default_rng(23)
+    m, k, o = 64, 1024, 128  # int3's 1-bit plane needs k/8 lane-aligned
+    ngroups = k // g
+    x = jnp.asarray(rng.normal(size=(m, k)).astype(np.float32))
+    q = rng.integers(int(fmt.min), int(fmt.max) + 1, (o, k))
+    scale = rng.uniform(0.01, 0.02, (o, ngroups)).astype(np.float32)
+    zp = (rng.uniform(-0.5, 0.5, (o, ngroups)).astype(np.float32)
+          if fmt.is_unsigned else None)
+    bias = rng.normal(size=(o,)).astype(np.float32)
+    wq = pack(jnp.asarray(q, jnp.int32), fmt, layout="halfsplit")
+    out = packed_int8_matmul(x, wq, jnp.asarray(scale),
+                             None if zp is None else jnp.asarray(zp),
+                             jnp.asarray(bias), fmt, g,
+                             out_dtype=jnp.float32,
+                             pack_layout="halfsplit")
+    assert out is not None
+    xq, xs = quantize_int_mm(x, axis=-1)
+    wd = q.reshape(o, ngroups, g) * scale[..., None]
+    if zp is not None:
+        wd = wd + zp[..., None]
+    ref = (np.asarray(xq).astype(np.float64) @ wd.reshape(o, k).T
+           * np.asarray(xs)) + bias[None]
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-3)
