@@ -36,6 +36,10 @@ def main():
     ap.add_argument("--dtype", type=str, default="float32",
                     help="param init dtype (bfloat16 halves init HBM — "
                          "needed at Flux-scale dims on a 16GB chip)")
+    ap.add_argument("--only", choices=["both", "bf16", "quant"],
+                    default="both",
+                    help="run one variant per process at Flux-scale "
+                         "(peak HBM = one param copy + one stacked copy)")
     args = ap.parse_args()
 
     hd = args.hidden // args.heads
@@ -72,22 +76,42 @@ def main():
                 p, img, txt, t, pooled, cfg, guidance=t, freqs=freqs,
                 attn_config=attn))
 
-    params_s = stack_dit_blocks(params)
+    # Flux-scale configs hold GBs of params: keep at most one extra copy
+    # alive at a time (quantize, free the fp original, THEN stack), and
+    # offer --only so bf16 and quantized runs can use separate processes
+    # on the 16GB chip.
+    def free(tree, keep=None):
+        # stacked/quantized trees share non-block leaves (embedders, head
+        # norms) with the source tree by reference — only delete buffers
+        # not reachable from `keep`
+        keep_ids = {id(leaf) for leaf in jax.tree_util.tree_leaves(keep)} \
+            if keep is not None else set()
+        for leaf in jax.tree_util.tree_leaves(tree):
+            if hasattr(leaf, "delete") and id(leaf) not in keep_ids:
+                leaf.delete()
+
     t_bf16 = None
-    if not args.skip_bf16:
+    if args.only in ("both", "bf16") and not args.skip_bf16:
+        params_s = stack_dit_blocks(params)
+        if args.only == "bf16":
+            free(params, keep=params_s)
         t_bf16 = timeit(run(params_s, None), img, steps=args.steps)
         print(f"bf16:    {t_bf16*1e3:8.2f} ms/step "
               f"({1/t_bf16:.2f} steps/s)", flush=True)
+        free(params_s, keep=params if args.only == "both" else None)
 
-    qp, _ = quantize_model(
-        params, QuantConfig(weights_dtype=args.fmt,
-                            use_quantized_matmul=True),
-        arch="FluxTransformer2DModel")
-    qp = stack_dit_blocks(qp)
-    t_q = timeit(run(qp, {"matmul_dtype": "int8"}), img, steps=args.steps)
-    vs = f"  {t_bf16/t_q:.2f}x bf16" if t_bf16 else ""
-    print(f"{args.fmt}: {t_q*1e3:8.2f} ms/step ({1/t_q:.2f} steps/s)"
-          f"{vs}", flush=True)
+    if args.only in ("both", "quant"):
+        qp, _ = quantize_model(
+            params, QuantConfig(weights_dtype=args.fmt,
+                                use_quantized_matmul=True),
+            arch="FluxTransformer2DModel")
+        free(params, keep=qp)
+        qp = stack_dit_blocks(qp)
+        t_q = timeit(run(qp, {"matmul_dtype": "int8"}), img,
+                     steps=args.steps)
+        vs = f"  {t_bf16/t_q:.2f}x bf16" if t_bf16 else ""
+        print(f"{args.fmt}: {t_q*1e3:8.2f} ms/step ({1/t_q:.2f} steps/s)"
+              f"{vs}", flush=True)
 
 
 if __name__ == "__main__":
