@@ -24,6 +24,7 @@ across chips before this limit — see parallel/).
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -66,7 +67,8 @@ def _attn_kernel(q_ref, k_ref, v_ref, qs_ref, ks_ref, vs_ref, mask_ref,
                  out_ref, m_ref=None, l_ref=None, *, bm: int, bk: int,
                  n_k: int, d: int, causal: bool, has_mask: bool,
                  mask_is_bool: bool, quantized: bool, quantized_pv: bool,
-                 sm_scale: float, kn_valid: int, partial_out: bool = False):
+                 sm_scale: float, kn_valid: int, partial_out: bool = False,
+                 use_exp2: bool = False):
     i = pl.program_id(1)
     row0 = i * bm
 
@@ -78,9 +80,16 @@ def _attn_kernel(q_ref, k_ref, v_ref, qs_ref, ks_ref, vs_ref, mask_ref,
     l_i = jnp.zeros((bm, 1), jnp.float32)
     acc = jnp.zeros((bm, d), jnp.float32)
 
+    # exp2 path: logits arrive pre-multiplied by log2(e) (folded into
+    # q_scale / sm_scale by the wrapper — the reference folds the same
+    # constant into q_scale for its Triton exp2: triton_atten.py:231);
+    # exp2 skips the VPU's internal x*log2e step of exp.
+    expf = jnp.exp2 if use_exp2 else jnp.exp
+    mask_coef = math.log2(math.e) if use_exp2 else 1.0
+
     row_ids = row0 + jax.lax.broadcasted_iota(jnp.int32, (bm, bk), 0)
 
-    for kt in range(n_k):
+    def block(kt, m_i, l_i, acc):
         k0 = kt * bk
         k_blk = k_ref[0, k0:k0 + bk, :]            # (BK, D)
         if quantized:
@@ -103,11 +112,11 @@ def _attn_kernel(q_ref, k_ref, v_ref, qs_ref, ks_ref, vs_ref, mask_ref,
             if mask_is_bool:
                 s = jnp.where(mblk != 0, s, _NEG_INF)
             else:
-                s = s + mblk.astype(jnp.float32)
+                s = s + mblk.astype(jnp.float32) * mask_coef
 
         m_new = jnp.maximum(m_i, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m_i - m_new)
+        p = expf(s - m_new)
+        alpha = expf(m_i - m_new)
         l_i = l_i * alpha + jnp.sum(p, axis=-1, keepdims=True)
 
         v_blk = v_ref[0, k0:k0 + bk, :]
@@ -126,7 +135,20 @@ def _attn_kernel(q_ref, k_ref, v_ref, qs_ref, ks_ref, vs_ref, mask_ref,
                 p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             acc = acc * alpha + pv
-        m_i = m_new
+        return m_new, l_i, acc
+
+    for kt in range(n_k):
+        if causal:
+            # rows of this i-block end at row0+bm-1; KV blocks entirely
+            # to the right are fully masked — skip their dots at runtime
+            # (row0 is dynamic, so the guard is a lax.cond per block)
+            m_i, l_i, acc = jax.lax.cond(
+                kt * bk <= row0 + bm - 1,
+                lambda ml: block(kt, *ml),
+                lambda ml: ml,
+                (m_i, l_i, acc))
+        else:
+            m_i, l_i, acc = block(kt, m_i, l_i, acc)
 
     if partial_out:
         # flash-decoding style partial results: unnormalized acc + (m, l)
@@ -150,8 +172,11 @@ def _attn_pallas(q, k, v, q_scale, k_scale, v_scale, mask, *, causal,
     n_k = kn // bk
     has_mask = mask is not None
 
+    # exp2 softmax: fold log2(e) into the q-side scale (quantized) or the
+    # static sm_scale (unquantized); the kernel then uses exp2 throughout
+    log2e = math.log2(math.e)
     # Mosaic-legal layouts: q_scale (BH, N, 1); k/v scales (BH, 1, KN)
-    qs_in = (q_scale[..., None] if quantized
+    qs_in = (q_scale[..., None] * log2e if quantized
              else jnp.zeros((bh, n, 1), jnp.float32))
     ks_in = (k_scale[:, None, :] if quantized
              else jnp.zeros((bh_kv, 1, kn), jnp.float32))
@@ -163,7 +188,8 @@ def _attn_pallas(q, k, v, q_scale, k_scale, v_scale, mask, *, causal,
     kernel = functools.partial(
         _attn_kernel, bm=bm, bk=bk, n_k=n_k, d=d, causal=causal,
         has_mask=has_mask, mask_is_bool=mask_is_bool, quantized=quantized,
-        quantized_pv=quantized_pv, sm_scale=sm_scale, kn_valid=kn_valid)
+        quantized_pv=quantized_pv, sm_scale=sm_scale * log2e,
+        kn_valid=kn_valid, use_exp2=True)
 
     flops = 4 * n * kn * d * bh
     return pl.pallas_call(
