@@ -26,6 +26,11 @@ def main():
     ap.add_argument("--hadamard", action="store_true")
     ap.add_argument("--only-bits", type=int, default=0,
                     help="restrict to formats of this bit width")
+    ap.add_argument("--max-bits", type=int, default=0,
+                    help="restrict to formats of at most this width")
+    ap.add_argument("--wide-sample", action="store_true",
+                    help="with --max-bits: also run ONE representative "
+                         "format per excluded wider width")
     args = ap.parse_args()
 
     x, w, b, flops = make_linear_inputs(args.m, args.n, args.k)
@@ -34,9 +39,15 @@ def main():
     run_path("bf16 baseline", base, x, flops=flops, steps=args.steps)
 
     from sdnq_tpu.formats import get_format
+    seen_wide = set()
     for name in WEIGHTS_DTYPE_ORDER:
-        if args.only_bits and get_format(name).num_bits != args.only_bits:
+        bits = get_format(name).num_bits
+        if args.only_bits and bits != args.only_bits:
             continue
+        if args.max_bits and bits > args.max_bits:
+            if not args.wide_sample or bits in seen_wide:
+                continue
+            seen_wide.add(bits)
         try:
             qt = quantize_tensor(w, name, use_hadamard=args.hadamard)
         except Exception as e:  # noqa: BLE001
