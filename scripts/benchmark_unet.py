@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""SDXL/SD1.5 UNet model-level benchmark: bf16 vs quantized denoise step.
+
+BASELINE.md target row: "images/sec/chip (SDXL INT8 ...) >= 1.5x BF16".
+Times one UNet forward (the denoise step's dominant cost) at the real
+latent resolution; --only {both,bf16,quant} splits variants across
+processes when HBM is tight.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scripts.bench_common import timeit
+from sdnq_tpu import QuantConfig, quantize_model
+from sdnq_tpu.models import (
+    SD15_CONFIG, SDXL_CONFIG, init_unet, unet_forward,
+)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", choices=["sdxl", "sd15"], default="sdxl")
+    ap.add_argument("--latent", type=int, default=128,
+                    help="latent side (128 = 1024px SDXL, 64 = 512px SD1.5)")
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--ctx", type=int, default=77)
+    ap.add_argument("--fmt", type=str, default="int8")
+    ap.add_argument("--steps", type=int, default=5)
+    ap.add_argument("--only", choices=["both", "bf16", "quant"],
+                    default="both")
+    args = ap.parse_args()
+
+    cfg = SDXL_CONFIG if args.model == "sdxl" else SD15_CONFIG
+    arch = ("StableDiffusionXLPipeline" if args.model == "sdxl"
+            else "StableDiffusionPipeline")
+    params = init_unet(jax.random.key(0), cfg, dtype=jnp.bfloat16)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(args.batch, args.latent, args.latent,
+                                     cfg.in_channels))
+                    .astype(np.float32)).astype(jnp.bfloat16)
+    t = jnp.full((args.batch,), 500.0, jnp.float32)
+    ctx = jnp.asarray(rng.normal(
+        size=(args.batch, args.ctx, cfg.cross_attention_dim))
+        .astype(np.float32)).astype(jnp.bfloat16)
+    added = (jnp.ones((args.batch, cfg.addition_embed_dim), jnp.bfloat16)
+             if cfg.addition_embed_dim else None)
+
+    def run(p, attn):
+        return jax.jit(lambda x: unet_forward(
+            p, x, t, ctx, cfg, added_cond=added, attn_config=attn))
+
+    t_bf16 = None
+    if args.only in ("both", "bf16"):
+        t_bf16 = timeit(run(params, None), x, steps=args.steps)
+        print(f"bf16:    {t_bf16*1e3:8.2f} ms/step "
+              f"({args.batch/t_bf16:.2f} img/s)", flush=True)
+
+    if args.only in ("both", "quant"):
+        qp, _ = quantize_model(
+            params,
+            QuantConfig(weights_dtype=args.fmt, use_quantized_matmul=True),
+            arch=arch)
+        t_q = timeit(run(qp, {"matmul_dtype": "int8"}), x, steps=args.steps)
+        vs = f"  {t_bf16/t_q:.2f}x bf16" if t_bf16 else ""
+        print(f"{args.fmt}: {t_q*1e3:8.2f} ms/step "
+              f"({args.batch/t_q:.2f} img/s){vs}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
