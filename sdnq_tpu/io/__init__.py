@@ -5,12 +5,15 @@ from .hf import (
 )
 from .keymaps import (
     llama_key_map, clip_text_key_map, sd_unet_key_map,
+    flux_key_map, fuse_flux_params, flux_config_from_hf,
     llama_config_from_hf, clip_config_from_hf, load_llama, load_clip_text,
+    load_flux,
 )
 
 __all__ = ["save_quantized", "load_quantized", "save_checkpoint",
            "restore_checkpoint", "stream_state_dict", "assemble_params",
            "load_and_quantize_state_dict",
            "llama_key_map", "clip_text_key_map", "sd_unet_key_map",
+           "flux_key_map", "fuse_flux_params", "flux_config_from_hf",
            "llama_config_from_hf", "clip_config_from_hf",
-           "load_llama", "load_clip_text"]
+           "load_llama", "load_clip_text", "load_flux"]

@@ -20,8 +20,9 @@ from ..config import QuantConfig
 from .hf import load_and_quantize_state_dict
 
 __all__ = ["llama_key_map", "clip_text_key_map", "sd_unet_key_map",
+           "flux_key_map", "fuse_flux_params", "flux_config_from_hf",
            "llama_config_from_hf", "clip_config_from_hf",
-           "load_llama", "load_clip_text"]
+           "load_llama", "load_clip_text", "load_flux"]
 
 
 def llama_key_map(key: str) -> str | None:
@@ -123,3 +124,148 @@ def load_clip_text(path: str, config: QuantConfig | None = None,
                "embeddings.position_embedding.weight": "embedding"},
         dtype=dtype, rng=rng)
     return params, clip_cfg, config
+
+
+# ---------------------------------------------------------------------------
+# Flux (diffusers FluxTransformer2DModel -> models/dit.py tree)
+# ---------------------------------------------------------------------------
+
+_FLUX_TOP = {
+    "time_text_embed.timestep_embedder.linear_1": "time_in.fc1",
+    "time_text_embed.timestep_embedder.linear_2": "time_in.fc2",
+    "time_text_embed.text_embedder.linear_1": "vector_in.fc1",
+    "time_text_embed.text_embedder.linear_2": "vector_in.fc2",
+    "time_text_embed.guidance_embedder.linear_1": "guidance_in.fc1",
+    "time_text_embed.guidance_embedder.linear_2": "guidance_in.fc2",
+}
+
+_FLUX_DOUBLE = {
+    "norm1.linear": "img_mod.linear",
+    "norm1_context.linear": "txt_mod.linear",
+    "attn.to_q": "img_attn.q", "attn.to_k": "img_attn.k",
+    "attn.to_v": "img_attn.v",
+    "attn.norm_q": "img_attn.norm_q", "attn.norm_k": "img_attn.norm_k",
+    "attn.add_q_proj": "txt_attn.q", "attn.add_k_proj": "txt_attn.k",
+    "attn.add_v_proj": "txt_attn.v",
+    "attn.norm_added_q": "txt_attn.norm_q",
+    "attn.norm_added_k": "txt_attn.norm_k",
+    "attn.to_out.0": "img_attn.proj", "attn.to_add_out": "txt_attn.proj",
+    "ff.net.0.proj": "img_mlp.fc1", "ff.net.2": "img_mlp.fc2",
+    "ff_context.net.0.proj": "txt_mlp.fc1", "ff_context.net.2": "txt_mlp.fc2",
+}
+
+_FLUX_SINGLE = {
+    "norm.linear": "norm.linear",
+    "attn.to_q": "q", "attn.to_k": "k", "attn.to_v": "v",
+    "attn.norm_q": "norm_q", "attn.norm_k": "norm_k",
+    "proj_mlp": "mlp_in",
+    "proj_out": "linear2",
+}
+
+
+def flux_key_map(key: str) -> str | None:
+    """diffusers FluxTransformer2DModel -> models/dit.py tree.
+
+    Separate to_q/to_k/to_v (and the single blocks' proj_mlp) land on
+    staging names; ``fuse_flux_params`` concatenates them into the fused
+    qkv / linear1 operands the BFL-style forward consumes, and swaps
+    norm_out's [scale, shift] row order (diffusers AdaLayerNormContinuous)
+    to this tree's [shift, scale]."""
+    leaf = key.rsplit(".", 1)[-1]            # weight / bias
+    stem = key[: -(len(leaf) + 1)]
+    if stem in ("x_embedder", "context_embedder", "proj_out",
+                "norm_out.linear"):
+        return key
+    if stem in _FLUX_TOP:
+        return f"{_FLUX_TOP[stem]}.{leaf}"
+    for prefix, table in (("transformer_blocks.", _FLUX_DOUBLE),
+                          ("single_transformer_blocks.", _FLUX_SINGLE)):
+        if stem.startswith(prefix):
+            rest = stem[len(prefix):]
+            idx, sub = rest.split(".", 1)
+            if sub in table:
+                return f"{prefix}{idx}.{table[sub]}.{leaf}"
+            return None
+    return None
+
+
+def _concat_linear(parts, names):
+    import jax.numpy as _jnp
+    out = {}
+    ws = [parts[n]["weight"] for n in names]
+    out["weight"] = _jnp.concatenate(ws, axis=0)
+    if "bias" in parts[names[0]]:
+        out["bias"] = _jnp.concatenate([parts[n]["bias"] for n in names],
+                                       axis=0)
+    return out
+
+
+def fuse_flux_params(params: dict) -> dict:
+    """Post-pass after ``flux_key_map`` assembly: fuse q/k/v (+mlp_in) into
+    the qkv / linear1 operands and fix the norm_out chunk order."""
+    import jax.numpy as _jnp
+    for blk in params.get("transformer_blocks", []):
+        for attn_name in ("img_attn", "txt_attn"):
+            attn = blk[attn_name]
+            attn["qkv"] = _concat_linear(attn, ("q", "k", "v"))
+            for n in ("q", "k", "v"):
+                del attn[n]
+    for blk in params.get("single_transformer_blocks", []):
+        blk["linear1"] = _concat_linear(blk, ("q", "k", "v", "mlp_in"))
+        for n in ("q", "k", "v", "mlp_in"):
+            del blk[n]
+    # diffusers AdaLayerNormContinuous emits [scale, shift]; this tree's
+    # final norm consumes [shift, scale]
+    no = params["norm_out"]["linear"]
+    h = no["weight"].shape[0] // 2
+    no["weight"] = _jnp.concatenate([no["weight"][h:], no["weight"][:h]],
+                                    axis=0)
+    if "bias" in no:
+        no["bias"] = _jnp.concatenate([no["bias"][h:], no["bias"][:h]],
+                                      axis=0)
+    return params
+
+
+def flux_config_from_hf(path: str):
+    from ..models.dit import DiTConfig
+    c = _read_hf_config(path)
+    heads = c.get("num_attention_heads", 24)
+    hd = c.get("attention_head_dim", 128)
+    return DiTConfig(
+        in_channels=c.get("in_channels", 64),
+        hidden_size=heads * hd,
+        num_heads=heads,
+        depth_double=c.get("num_layers", 19),
+        depth_single=c.get("num_single_layers", 38),
+        txt_dim=c.get("joint_attention_dim", 4096),
+        vec_dim=c.get("pooled_projection_dim", 768),
+        axes_dims=tuple(c.get("axes_dims_rope", (16, 56, 56))),
+        guidance_embed=c.get("guidance_embeds", True),
+    )
+
+
+def load_flux(path: str, config: QuantConfig | None = None,
+              dtype=jnp.bfloat16, rng=None):
+    """Stream a diffusers Flux transformer checkpoint, fuse q/k/v into the
+    BFL-style operands, then quantize (fusion must precede quantization,
+    so this assembles raw and applies apply.quantize_model afterwards).
+
+    Returns (qparams, DiTConfig, QuantConfig)."""
+    from ..apply import quantize_model
+    from .hf import assemble_params, stream_state_dict, _torch_to_np
+
+    dit_cfg = flux_config_from_hf(path)
+    if config is None:
+        config = QuantConfig()
+
+    def items():
+        for key, tensor in stream_state_dict(path):
+            mapped = flux_key_map(key)
+            if mapped is None:
+                continue
+            yield mapped, jnp.asarray(_torch_to_np(tensor), dtype)
+
+    params = fuse_flux_params(assemble_params(items()))
+    qparams, config = quantize_model(params, config,
+                                     arch="FluxTransformer2DModel")
+    return qparams, dit_cfg, config

@@ -40,13 +40,19 @@ _SPECIAL_DTYPES = {jnp.bfloat16: np.uint16, jnp.float8_e4m3fn: np.uint8,
 
 
 def _to_np(a: jax.Array) -> tuple[np.ndarray, str]:
+    # ascontiguousarray is load-bearing: device readbacks can arrive with
+    # non-C-contiguous strides (observed on the axon TPU backend), and
+    # safetensors' save_file serializes the raw buffer assuming C order —
+    # silently writing permuted garbage for strided inputs.
     dt = a.dtype
     if dt == jnp.bfloat16:
-        return np.asarray(a.view(jnp.uint16) if hasattr(a, "view")
-                          else a).view(np.uint16), "bfloat16"
+        return np.ascontiguousarray(
+            np.asarray(a.view(jnp.uint16) if hasattr(a, "view")
+                       else a).view(np.uint16)), "bfloat16"
     if dt in (jnp.float8_e4m3fn, jnp.float8_e5m2):
-        return np.asarray(jax.lax.bitcast_convert_type(a, jnp.uint8)), str(dt)
-    return np.asarray(a), str(dt)
+        return np.ascontiguousarray(
+            jax.lax.bitcast_convert_type(a, jnp.uint8)), str(dt)
+    return np.ascontiguousarray(a), str(dt)
 
 
 def _from_np(a: np.ndarray, dtype_name: str) -> jax.Array:
