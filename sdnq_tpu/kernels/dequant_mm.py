@@ -114,7 +114,11 @@ def _dequant_mm_kernel(x_ref, wq_ref, scale_ref, zp_ref, bias_ref, out_ref,
         else:
             for kt in range(n_k):
                 k0 = kt * bk
-                vals = wq_ref[:, k0:k0 + bk].astype(jnp.float32)
+                vals = wq_ref[:, k0:k0 + bk]
+                if vals.dtype == jnp.uint8:
+                    # Mosaic has no direct u8->f32 cast; widen first
+                    vals = vals.astype(jnp.int32)
+                vals = vals.astype(jnp.float32)
                 gi = k0 // g
                 sg = max(1, bk // g)
                 w = vals * _broadcast_groups(scale_ref, gi, sg, g, bn, bk)
