@@ -4,6 +4,7 @@ from .dit import (
 )
 from .unet import (
     UNetConfig, SD15_CONFIG, SDXL_CONFIG, UNET_TINY_CONFIG,
+    make_staged_unet_forward,
     init_unet, unet_forward,
 )
 from .vae import (
@@ -28,6 +29,7 @@ __all__ = [
     "stack_dit_blocks", "make_staged_dit_forward",
     "FLUX_DEV_CONFIG", "FLUX_TINY_CONFIG",
     "UNetConfig", "SD15_CONFIG", "SDXL_CONFIG", "UNET_TINY_CONFIG",
+    "make_staged_unet_forward",
     "init_unet", "unet_forward",
     "VAEConfig", "SD_VAE_CONFIG", "VAE_TINY_CONFIG", "init_vae",
     "vae_decode", "vae_encode",

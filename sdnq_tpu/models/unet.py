@@ -26,6 +26,7 @@ from .common import (
 )
 
 __all__ = ["UNetConfig", "SD15_CONFIG", "SDXL_CONFIG", "UNET_TINY_CONFIG",
+           "make_staged_unet_forward",
            "init_unet", "unet_forward"]
 
 
@@ -317,3 +318,108 @@ def unet_forward(params: Params, x: jax.Array, timesteps: jax.Array,
                    params["conv_norm_out"]["bias"], groups)
     return qconv(silu(h), params["conv_out"]["weight"],
                  params["conv_out"].get("bias"), padding="SAME")
+
+
+def make_staged_unet_forward(cfg: UNetConfig,
+                             attn_config: dict | None = None):
+    """UNet forward as separately-jitted stages (embed, one per down
+    level, mid, one per up level, head) instead of one whole-model jit.
+
+    SDXL-scale single jits exceed remote-compile session limits on
+    tunneled TPU setups (same constraint as models/dit.py
+    make_staged_dit_forward); per-level programs compile independently at
+    the cost of ~9 dispatches per step.  Skip activations cross stage
+    boundaries as an explicit tuple."""
+    groups = cfg.norm_groups
+    acfg = attn_config
+
+    @jax.jit
+    def embed(p, x, timesteps, added_cond):
+        temb = timestep_embedding(timesteps, cfg.block_out_channels[0])
+        temb = qlinear(temb, p["time_embedding"]["linear_1"]["weight"],
+                       p["time_embedding"]["linear_1"].get("bias"))
+        temb = qlinear(silu(temb),
+                       p["time_embedding"]["linear_2"]["weight"],
+                       p["time_embedding"]["linear_2"].get("bias"))
+        if cfg.addition_embed_dim and added_cond is not None:
+            a = qlinear(added_cond, p["add_embedding"]["linear_1"]["weight"],
+                        p["add_embedding"]["linear_1"].get("bias"))
+            a = qlinear(silu(a), p["add_embedding"]["linear_2"]["weight"],
+                        p["add_embedding"]["linear_2"].get("bias"))
+            temb = temb + a
+        h = qconv(x, p["conv_in"]["weight"], p["conv_in"].get("bias"),
+                  padding="SAME")
+        return h, temb
+
+    @jax.jit
+    def down_level(blk, h, temb, ctx):
+        new_skips = []
+        attn_i = 0
+        for res_p in blk["resnets"]:
+            h = _resnet(res_p, h, temb, groups)
+            if blk["attentions"]:
+                h = _spatial_transformer(blk["attentions"][attn_i], h, ctx,
+                                         groups, acfg)
+                attn_i += 1
+            new_skips.append(h)
+        if "downsamplers" in blk:
+            h = qconv(h, blk["downsamplers"][0]["conv"]["weight"],
+                      blk["downsamplers"][0]["conv"].get("bias"),
+                      stride=2, padding=((1, 1), (1, 1)))
+            new_skips.append(h)
+        return h, tuple(new_skips)
+
+    @jax.jit
+    def mid(p, h, temb, ctx):
+        h = _resnet(p["resnets"][0], h, temb, groups)
+        h = _spatial_transformer(p["attentions"][0], h, ctx, groups, acfg)
+        return _resnet(p["resnets"][1], h, temb, groups)
+
+    @jax.jit
+    def up_level(blk, h, temb, ctx, lvl_skips):
+        skips = list(lvl_skips)
+        attn_i = 0
+        for res_p in blk["resnets"]:
+            h = jnp.concatenate([h, skips.pop()], axis=-1)
+            h = _resnet(res_p, h, temb, groups)
+            if blk["attentions"]:
+                h = _spatial_transformer(blk["attentions"][attn_i], h, ctx,
+                                         groups, acfg)
+                attn_i += 1
+        if "upsamplers" in blk:
+            n, hh, ww, c = h.shape
+            h = jax.image.resize(h, (n, hh * 2, ww * 2, c), "nearest")
+            h = qconv(h, blk["upsamplers"][0]["conv"]["weight"],
+                      blk["upsamplers"][0]["conv"].get("bias"),
+                      padding="SAME")
+        return h
+
+    @jax.jit
+    def head(p, h):
+        h = group_norm(h, p["conv_norm_out"]["weight"],
+                       p["conv_norm_out"]["bias"], groups)
+        return qconv(silu(h), p["conv_out"]["weight"],
+                     p["conv_out"].get("bias"), padding="SAME")
+
+    def forward(params, x, timesteps, encoder_hidden_states,
+                added_cond=None):
+        ctx = encoder_hidden_states
+        p_embed = {"time_embedding": params["time_embedding"],
+                   "conv_in": params["conv_in"]}
+        if "add_embedding" in params:
+            p_embed["add_embedding"] = params["add_embedding"]
+        h, temb = embed(p_embed, x, timesteps, added_cond)
+        skips = [h]
+        for blk in params["down_blocks"]:
+            h, new = down_level(blk, h, temb, ctx)
+            skips.extend(new)
+        h = mid(params["mid_block"], h, temb, ctx)
+        for blk in params["up_blocks"]:
+            n = len(blk["resnets"])
+            lvl_skips, skips = tuple(skips[-n:]), skips[:-n]
+            h = up_level(blk, h, temb, ctx, lvl_skips)
+        p_head = {"conv_norm_out": params["conv_norm_out"],
+                  "conv_out": params["conv_out"]}
+        return head(p_head, h)
+
+    return forward

@@ -53,3 +53,22 @@ def test_unet_jit():
     x, t, ctx = _inputs(cfg, seed=1)
     out = jax.jit(lambda p, x: unet_forward(p, x, t, ctx, cfg))(params, x)
     assert bool(jnp.isfinite(out).all())
+
+
+def test_staged_unet_forward_matches_monolithic():
+    """make_staged_unet_forward (per-level jits for remote-compile limits)
+    must equal the single-jit unet_forward."""
+    import numpy as np
+    from sdnq_tpu.models import make_staged_unet_forward
+    cfg = UNET_TINY_CONFIG
+    params = init_unet(jax.random.key(2), cfg)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(1, 16, 16, cfg.in_channels))
+                    .astype(np.float32))
+    t = jnp.full((1,), 400.0, jnp.float32)
+    ctx = jnp.asarray(rng.normal(size=(1, 8, cfg.cross_attention_dim))
+                      .astype(np.float32))
+    ref = unet_forward(params, x, t, ctx, cfg)
+    staged = make_staged_unet_forward(cfg)(params, x, t, ctx)
+    np.testing.assert_allclose(np.asarray(staged), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
