@@ -42,11 +42,17 @@ def main():
     ms = [int(m) for m in args.ms.split(",")]
 
     def make(spec):
-        # "fmt" or "fmt:groupsize"
+        # "fmt", "fmt:groupsize", or "fmt:groupsize:q" (q = quantized
+        # matmul: dynamic-int8 x against the raw packed codes on the int8
+        # MXU — kernels/dequant_mm.packed_int8_matmul)
+        kw = {}
+        if spec.endswith(":q"):
+            spec = spec[:-2]
+            kw["use_quantized_matmul"] = True
         if ":" in spec:
             f, g = spec.split(":")
-            return quantize_tensor(w, f, group_size=int(g))
-        return quantize_tensor(w, spec)
+            return quantize_tensor(w, f, group_size=int(g), **kw)
+        return quantize_tensor(w, spec, **kw)
 
     qts = {f: make(f) for f in fmts}
 

@@ -20,7 +20,8 @@ import numpy as np
 from scripts.bench_common import timeit
 from sdnq_tpu import QuantConfig, quantize_model
 from sdnq_tpu.models import (
-    SD15_CONFIG, SDXL_CONFIG, init_unet, unet_forward,
+    SD15_CONFIG, SDXL_CONFIG, init_unet, make_staged_unet_forward,
+    unet_forward,
 )
 
 
@@ -35,6 +36,9 @@ def main():
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--only", choices=["both", "bf16", "quant"],
                     default="both")
+    ap.add_argument("--staged", action="store_true",
+                    help="per-level jits (SDXL-scale single jits exceed "
+                         "remote-compile session limits)")
     args = ap.parse_args()
 
     cfg = SDXL_CONFIG if args.model == "sdxl" else SD15_CONFIG
@@ -54,6 +58,9 @@ def main():
              if cfg.addition_embed_dim else None)
 
     def run(p, attn):
+        if args.staged:
+            fwd = make_staged_unet_forward(cfg, attn_config=attn)
+            return lambda x: fwd(p, x, t, ctx, added_cond=added)
         return jax.jit(lambda x: unet_forward(
             p, x, t, ctx, cfg, added_cond=added, attn_config=attn))
 
