@@ -27,17 +27,41 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
 
 M, N, K = 16384, 8192, 4096
-STEPS = 20
+STEPS = 5
+INNER = 16
 
 
 def _time(fn, *args, steps=STEPS):
-    out = fn(*args)
-    jax.block_until_ready(out)  # compile
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / steps
+    """Chained-scan timing: the axon tunnel pays a DRIFTING 0.8-5 ms
+    per-program dispatch cost that does NOT pipeline across calls, so
+    per-call timing pollutes a 2-7 ms op by 10-100%+ (measured: a trivial
+    (8,128) op reports 156 us/iter at inner=32 vs 3.5 at inner=1024).
+    Chain INNER data-dependent iterations inside one scan and subtract the
+    measured empty-chain floor; baseline and quantized rows get identical
+    treatment, so the ratio is the honest on-chip one."""
+    x0 = args[0]
+
+    def chain(f):
+        def body(c, _):
+            y = f(c)
+            c = c * (1 + 1e-30 * jnp.sum(y).astype(jnp.float32)) \
+                .astype(c.dtype)
+            return c, ()
+        return jax.jit(
+            lambda c0: jax.lax.scan(body, c0, None, length=INNER)[0])
+
+    def run(prog):
+        out = prog(x0)
+        jax.block_until_ready(out)  # compile
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            out = prog(x0)
+            jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / steps / INNER
+
+    t = run(chain(fn))
+    t_floor = run(chain(lambda c: c))
+    return max(t - t_floor, 1e-9)
 
 
 def main():

@@ -39,21 +39,33 @@ def timeit(fn, *args, steps=20, warmup=1):
     return (time.perf_counter() - t0) / steps
 
 
-def timeit_chained(fn, x, steps=10, inner=32):
+def timeit_chained(fn, x, steps=10, inner=32, calibrate=False):
     """Per-op time for sub-millisecond ops: run `inner` data-dependent
     iterations of fn inside ONE jitted scan, so the axon tunnel's
-    ~0.6-1 ms per-dispatch floor amortizes away.  The carry is nudged by
+    per-dispatch floor amortizes away.  The carry is nudged by
     a runtime-scalar function of the output, which XLA cannot fold, so
-    iterations serialize and the weight is re-read from HBM each step."""
-    def body(c, _):
-        y = fn(c)
-        c = c * (1 + 1e-30 * jnp.sum(y).astype(jnp.float32)).astype(c.dtype)
-        return c, ()
+    iterations serialize and the weight is re-read from HBM each step.
 
-    prog = jax.jit(
-        lambda x0: jax.lax.scan(body, x0, None, length=inner)[0])
-    t = timeit(prog, x, steps=steps)
-    return t / inner
+    The dispatch floor is NOT fixed: it drifts between ~0.8 ms and ~5 ms
+    across the day, so at inner=32-64 it pollutes sub-100 us ops by
+    10-150 us/iter (measured: a trivial (8,128) multiply reports 156
+    us/iter at inner=32 vs 3.5 at inner=1024).  Callers timing sub-100 us
+    ops must raise `inner` (>=512) and/or pass calibrate=True, which times
+    an empty chain of the same length and subtracts the per-iteration
+    harness floor (the same treatment applies to baseline and quantized
+    rows, so ratios stay fair)."""
+    def chain(f, inner):
+        def body(c, _):
+            y = f(c)
+            c = c * (1 + 1e-30 * jnp.sum(y).astype(jnp.float32)).astype(c.dtype)
+            return c, ()
+        return jax.jit(lambda x0: jax.lax.scan(body, x0, None, length=inner)[0])
+
+    t = timeit(chain(fn, inner), x, steps=steps) / inner
+    if calibrate:
+        t0 = timeit(chain(lambda c: c, inner), x, steps=steps) / inner
+        t = max(t - t0, 1e-9)
+    return t
 
 
 def run_path(name: str, fn, *args, flops: float, steps=20):

@@ -63,18 +63,22 @@ def main():
         x = jnp.asarray(rng.normal(size=(m, args.k)).astype(np.float32)) \
             .astype(jnp.bfloat16)
 
-        # sub-ms ops through the axon tunnel hit a ~0.8 ms dispatch
-        # floor; chain `inner` data-dependent calls inside one jit so
-        # the per-op time reflects the kernel, not the tunnel.
-        inner = max(8, min(64, (1 << 22) // (m * args.k)))
+        # sub-ms ops through the axon tunnel hit a drifting 0.8-5 ms
+        # dispatch floor; chain `inner` data-dependent calls inside one
+        # jit AND subtract the measured empty-chain floor (calibrate) so
+        # the per-op time reflects the kernel, not the tunnel.  At
+        # inner=64 the floor polluted every sub-100us row by 12-80 us —
+        # the round-2b table understated small-M speedups by ~15-40%.
+        inner = max(8, min(512, (1 << 25) // (m * args.k)))
+        steps = max(5, min(args.steps, 2000 // inner))
         t0 = timeit_chained(lambda x: x @ wb.T + bb, x,
-                            steps=args.steps, inner=inner)
+                            steps=steps, inner=inner, calibrate=True)
         row = f"{m:>6} {m/t0:>12.3e}"
         for f in fmts:
             qt = qts[f]
             try:
                 t = timeit_chained(lambda x, qt=qt: qlinear(x, qt, bb), x,
-                                   steps=args.steps, inner=inner)
+                                   steps=steps, inner=inner, calibrate=True)
                 row += f"{m/t:>12.3e} {t0/t:>4.2f}x"
             except Exception as e:  # noqa: BLE001
                 row += f"{'FAIL':>18}"

@@ -507,6 +507,150 @@ def _groupdot_mm_pallas(x, wq, scale, zp, bias, *, fmt_name, code_bits,
 
 
 # ---------------------------------------------------------------------------
+# Block-diagonal small-M variant of the bf16 group-dot kernel (weight-only:
+# unquantized activations).  Same single-dot structure as
+# _blockdiag_i8_kernel below — see the comment there; x rides in bf16, the
+# decoded codes feed the MXU in bf16, partials accumulate f32.
+# ---------------------------------------------------------------------------
+
+def _blockdiag_kernel(xx_ref, wq_ref, scale_t_ref, zpc_t_ref, xs_col_ref,
+                      r_ref, bias_ref, out_ref, wdec_ref, *,
+                      planes: tuple, m: int, n_groups: int, kdim: int,
+                      is_float: bool, fmt_name: str, has_zp: bool,
+                      has_bias: bool):
+    pmax = max(8 // w for w, _ in planes)
+    seg = kdim // pmax
+    offs, off = [], 0
+    for w, _ in planes:
+        offs.append(off)
+        off += kdim // (8 // w)
+    loaded = [None] * len(planes)
+
+    def chunk_codes(q):
+        code = None
+        for pi, ((w, sh), o0) in enumerate(zip(planes, offs)):
+            if loaded[pi] is None:
+                loaded[pi] = wq_ref[:, o0:o0 + kdim // (8 // w)] \
+                    .astype(jnp.int32)
+            p_w = 8 // w
+            t = q // (pmax // p_w)
+            b0 = (q % (pmax // p_w)) * seg
+            field = loaded[pi][:, b0:b0 + seg]
+            if t:
+                field = field >> (w * t)
+            if t != p_w - 1:
+                field = field & ((1 << w) - 1)
+            if sh:
+                field = field << sh
+            code = field if code is None else code | field
+        return code
+
+    for q in range(pmax):
+        if is_float:
+            vals = decode_float(chunk_codes(q), get_format(fmt_name),
+                                dtype=jnp.float32)
+        else:
+            vals = chunk_codes(q)
+        wdec_ref[:, q * seg:(q + 1) * seg] = vals.astype(wdec_ref.dtype)
+
+    part = jax.lax.dot_general(
+        xx_ref[...], wdec_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)              # (MG, BN)
+    s_tile = jnp.concatenate([scale_t_ref[...]] * m, axis=0)
+    term = part * s_tile
+    if has_zp:
+        # per-(m,g) x sums carry the zero-point + folded code_min
+        xsum = jnp.sum(xx_ref[...].astype(jnp.float32), axis=-1,
+                       keepdims=True)                    # (MG, 1)
+        z_tile = jnp.concatenate([zpc_t_ref[...]] * m, axis=0)
+        term = term + xsum * z_tile
+    out = jax.lax.dot_general(
+        r_ref[...], term, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)              # (M, BN)
+    if has_bias:
+        out = out + bias_ref[:].astype(jnp.float32)
+    out_ref[:] = out.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "fmt_name", "code_bits", "code_min", "is_float", "group_size",
+    "out_dtype", "bn"))
+def _blockdiag_mm_pallas(x, wq, scale, zp, bias, *, fmt_name, code_bits,
+                         code_min, is_float, group_size, out_dtype,
+                         bn=512):
+    from ..packing import halfsplit_planes
+    m, kdim = x.shape
+    o = wq.shape[0]
+    g = group_size if group_size > 0 else kdim
+    n_groups = kdim // g
+    mg = m * n_groups
+    has_bias = bias is not None
+    # integer codes go to the MXU raw (offset-binary minimum folds into the
+    # zero-point rows); minifloats decode to signed values, so only a real
+    # zero-point needs the xsum fold
+    has_zp = (not is_float) or zp is not None
+
+    bn_ = _pick_block(o, bn, 128)
+    n_j = pl.cdiv(o, bn_)
+
+    scale_t = jnp.transpose(scale).astype(jnp.float32)      # (G, O)
+    zpc_t = jnp.zeros_like(scale_t)
+    if not is_float:
+        zpc_t = float(code_min) * scale_t
+    if zp is not None:
+        zpc_t = zpc_t + jnp.transpose(zp).astype(jnp.float32)
+    bias_in = (bias.reshape(1, -1) if has_bias
+               else jnp.zeros((1, o), jnp.float32))
+    gid = jnp.arange(kdim, dtype=jnp.int32) // g
+    mask = (gid[None, :] == jnp.arange(n_groups,
+                                       dtype=jnp.int32)[:, None])
+    xx = jnp.where(mask[None, :, :], x[:, None, :], 0) \
+        .reshape(mg, kdim).astype(x.dtype)
+    r = (jnp.arange(m)[:, None]
+         == jnp.arange(mg)[None, :] // n_groups).astype(jnp.float32)
+    xs_col = jnp.zeros((m, 1), jnp.float32)  # unused placeholder
+
+    kernel = functools.partial(
+        _blockdiag_kernel, planes=tuple(halfsplit_planes(code_bits)),
+        m=m, n_groups=n_groups, kdim=kdim, is_float=is_float,
+        fmt_name=fmt_name, has_zp=has_zp, has_bias=has_bias)
+
+    flops = 2 * mg * o * kdim
+    bytes_accessed = (mg * kdim * x.dtype.itemsize + wq.size
+                      + m * o * jnp.dtype(out_dtype).itemsize)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_j,),
+        in_specs=[
+            pl.BlockSpec((mg, kdim), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn_, kdim * code_bits // 8), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_groups, bn_), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_groups, bn_), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, 1), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, mg), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn_), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((m, bn_), lambda j: (0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, o), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bn_, kdim), x.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=vmem_limit_bytes()),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0),
+        interpret=pallas_interpret(),
+    )(xx, wq, scale_t, zpc_t, xs_col, r, bias_in)
+
+
+# ---------------------------------------------------------------------------
 # Packed-weight int8 quantized matmul: per-row int8 activations against raw
 # sub-byte integer codes on the int8 MXU path, group scales applied to the
 # per-group partial i32 dots.  This replaces the reference's
@@ -644,6 +788,154 @@ def _groupdot_i8_mm_pallas(xq, xs, wq, scale, zp, bias, *, code_bits,
     )(xq, wq, scale_t, zpc_t, xs, bias_in, e)
 
 
+# ---------------------------------------------------------------------------
+# Block-diagonal small-M variant: at decode batch sizes the group-dot
+# kernel above is bound not by HBM but by MXU *issue count* (n_groups + 2
+# dots per output block x 32 blocks ~ 10 us at M=1, measured vs a 17.7 us
+# HBM floor for the int4 weight read).  Here the caller expands x to
+# xx[(m,g), k] = x[m,k] * [k in group g] (trivial XLA elementwise at small
+# M), so ONE full-K int8 MXU dot yields every per-group partial at once:
+#   part[(m,g), o] = sum_{k in g} x[m,k] * w_codes[o,k]
+# and one tiny f32 dot against R (M, M*G) applies the group scales and
+# reduces:  out = R @ (part * tile(scale_t) + rowsum(xx) * tile(zpc_t)).
+# Because the group structure only enters through xx (built in XLA) and
+# the (G, BN) scale rows, ANY group size divides in — the g % 128 lane-
+# alignment restriction of the group-dot mode disappears, covering the
+# reference's fine-group auto rule (quantizer.py:171-214, 2^(2+bits)=64
+# for int4) at full speed.  2 MXU issues per block vs n_groups + 2.
+# ---------------------------------------------------------------------------
+
+def _blockdiag_i8_kernel(xx_ref, wq_ref, scale_t_ref, zpc_t_ref, xs_ref,
+                         r_ref, bias_ref, out_ref, wdec_ref, *,
+                         planes: tuple, m: int, n_groups: int, kdim: int,
+                         has_bias: bool):
+    pmax = max(8 // w for w, _ in planes)
+    seg = kdim // pmax
+    offs, off = [], 0
+    for w, _ in planes:
+        offs.append(off)
+        off += kdim // (8 // w)
+    loaded = [None] * len(planes)
+
+    def chunk_codes(q):
+        code = None
+        for pi, ((w, sh), o0) in enumerate(zip(planes, offs)):
+            if loaded[pi] is None:
+                loaded[pi] = wq_ref[:, o0:o0 + kdim // (8 // w)] \
+                    .astype(jnp.int32)
+            p_w = 8 // w
+            t = q // (pmax // p_w)
+            b0 = (q % (pmax // p_w)) * seg
+            field = loaded[pi][:, b0:b0 + seg]
+            if t:
+                field = field >> (w * t)
+            if t != p_w - 1:
+                field = field & ((1 << w) - 1)
+            if sh:
+                field = field << sh
+            code = field if code is None else code | field
+        return code
+
+    for q in range(pmax):
+        wdec_ref[:, q * seg:(q + 1) * seg] = \
+            chunk_codes(q).astype(wdec_ref.dtype)
+
+    # ONE int8 MXU dot: all (m, g) partial dots of this output block
+    part = jax.lax.dot_general(
+        xx_ref[...], wdec_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)                # (MG, BN) i32
+    # per-(m,g) x sums for the zero-point/code_min fold: lane reduction
+    xsum = jnp.sum(xx_ref[...].astype(jnp.int32), axis=-1,
+                   keepdims=True).astype(jnp.float32)    # (MG, 1)
+    # tile the (G, BN) scale/zp rows M times down the sublanes
+    s_tile = jnp.concatenate([scale_t_ref[...]] * m, axis=0)
+    z_tile = jnp.concatenate([zpc_t_ref[...]] * m, axis=0)
+    term = part.astype(jnp.float32) * s_tile + xsum * z_tile
+    # scale-weighted group reduction as one small f32 MXU dot
+    out = jax.lax.dot_general(
+        r_ref[...], term, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)              # (M, BN)
+    out = out * xs_ref[...].astype(jnp.float32)
+    if has_bias:
+        out = out + bias_ref[:].astype(jnp.float32)
+    out_ref[:] = out.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "code_bits", "code_min", "group_size", "out_dtype", "bn"))
+def _blockdiag_i8_mm_pallas(xq, xs, wq, scale, zp, bias, *, code_bits,
+                            code_min, group_size, out_dtype, bn=512):
+    from ..packing import halfsplit_planes
+    m, kdim = xq.shape
+    o = wq.shape[0]
+    g = group_size if group_size > 0 else kdim
+    n_groups = kdim // g
+    mg = m * n_groups
+    has_bias = bias is not None
+
+    bn_ = _pick_block(o, bn, 128)
+    n_j = pl.cdiv(o, bn_)
+
+    scale_t = jnp.transpose(scale).astype(jnp.float32)      # (G, O)
+    zpc_t = float(code_min) * scale_t
+    if zp is not None:
+        zpc_t = zpc_t + jnp.transpose(zp).astype(jnp.float32)
+    bias_in = (bias.reshape(1, -1) if has_bias
+               else jnp.zeros((1, o), jnp.float32))
+    # block-diagonal x: row (m, g) keeps only group g's lanes
+    gid = jnp.arange(kdim, dtype=jnp.int32) // g             # (K,)
+    mask = (gid[None, :] == jnp.arange(n_groups,
+                                       dtype=jnp.int32)[:, None])
+    xx = jnp.where(mask[None, :, :], xq[:, None, :], 0) \
+        .reshape(mg, kdim).astype(jnp.int8)
+    # group-reduction matrix: R[m, (m', g)] = [m == m']
+    r = (jnp.arange(m)[:, None]
+         == jnp.arange(mg)[None, :] // n_groups).astype(jnp.float32)
+
+    kernel = functools.partial(
+        _blockdiag_i8_kernel, planes=tuple(halfsplit_planes(code_bits)),
+        m=m, n_groups=n_groups, kdim=kdim, has_bias=has_bias)
+
+    flops = 2 * mg * o * kdim
+    bytes_accessed = (mg * kdim + wq.size
+                      + m * o * jnp.dtype(out_dtype).itemsize)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_j,),
+        in_specs=[
+            pl.BlockSpec((mg, kdim), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn_, kdim * code_bits // 8), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_groups, bn_), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_groups, bn_), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, 1), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, mg), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn_), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((m, bn_), lambda j: (0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, o), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bn_, kdim), jnp.int8)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=vmem_limit_bytes()),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0),
+        interpret=pallas_interpret(),
+    )(xx, wq, scale_t, zpc_t, xs, r, bias_in)
+
+
+# rows beyond which the block-diagonal expansion (m*G x K int8 xx operand +
+# G-fold redundant MACs) stops paying vs the per-group dot loop
+_BLOCKDIAG_MAX_MG = 1024
+
+
 def packed_int8_matmul(x: jax.Array, wq: jax.Array, scale: jax.Array,
                        zero_point: jax.Array | None,
                        bias: jax.Array | None, fmt: Format,
@@ -655,6 +947,7 @@ def packed_int8_matmul(x: jax.Array, wq: jax.Array, scale: jax.Array,
     Returns None when the geometry/backend is unsupported (caller falls
     back to the re-quantize-rowwise route, matching the reference's
     dequantizer.re_quantize_matmul:152)."""
+    from ..envconfig import env_int
     from ..packing import halfsplit_planes
     from ..quant.core import quantize_int_mm
     m, kdim = x.shape
@@ -665,8 +958,17 @@ def packed_int8_matmul(x: jax.Array, wq: jax.Array, scale: jax.Array,
     pmax = max(8 // w for w, _ in halfsplit_planes(fmt.code_bits))
     seg = kdim // pmax
     n_groups = kdim // g
-    if not (seg % 128 == 0 and g % 128 == 0 and g <= seg
-            and n_groups <= 64 and kdim <= _MAX_K):
+    if not (seg % 128 == 0 and kdim <= _MAX_K):
+        return None
+    bd_max = env_int("SDNQ_TPU_BLOCKDIAG_MAX_MG", _BLOCKDIAG_MAX_MG)
+    if m * n_groups <= bd_max:
+        # small-M: block-diagonal single-dot variant (any group size)
+        xq, xs = quantize_int_mm(x.astype(jnp.float32), axis=-1)
+        return _blockdiag_i8_mm_pallas(
+            xq, xs.reshape(-1, 1), wq, scale, zero_point, bias,
+            code_bits=fmt.code_bits, code_min=int(fmt.min),
+            group_size=group_size, out_dtype=jnp.dtype(out_dtype))
+    if not (g % 128 == 0 and g <= seg and n_groups <= 64):
         return None
     xq, xs = quantize_int_mm(x.astype(jnp.float32), axis=-1)
     ov = env_blocks("SDNQ_TPU_GROUPDOT_BLOCKS", 2)
@@ -698,6 +1000,19 @@ def dequant_matmul(x: jax.Array, wq: jax.Array, scale: jax.Array,
         mat_rows = env_int("SDNQ_TPU_DEQUANT_MATERIALIZE_ROWS", 4096)
         pmax = max(8 // w for w, _ in halfsplit_planes(fmt.code_bits))
         seg = kdim // pmax
+        bd_max = env_int("SDNQ_TPU_BLOCKDIAG_MAX_MG", _BLOCKDIAG_MAX_MG)
+        bd_ok = (seg % 128 == 0 and kdim <= _MAX_K and kdim % g == 0
+                 and m * (kdim // g) <= bd_max)
+        if use_pallas() and bd_ok:
+            xk = (x.astype(jnp.bfloat16)
+                  if x.dtype == jnp.float32 and kernel_backend() == "pallas"
+                  else x)
+            return _blockdiag_mm_pallas(
+                xk, wq, scale, zero_point, bias,
+                fmt_name=fmt.name, code_bits=fmt.code_bits,
+                code_min=int(fmt.min) if fmt.is_integer else 0,
+                is_float=not fmt.is_integer,
+                group_size=group_size, out_dtype=jnp.dtype(out_dtype))
         ok = (seg % 128 == 0 and kdim <= _MAX_K and kdim % g == 0
               and kdim // g <= 512 and g % pmax == 0)
         if use_pallas() and ok and not (mat_rows > 0 and m >= mat_rows):

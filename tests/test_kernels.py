@@ -404,7 +404,12 @@ def test_train_ckpt_emit_grad_parity(interpret, use_hadamard):
 
 
 @pytest.mark.parametrize("fmt_name,g", [("int4", 128), ("uint4", 128),
-                                        ("int2", 128), ("int3", 128)])
+                                        ("int2", 128), ("int3", 128),
+                                        # fine groups: only the block-
+                                        # diagonal small-M variant covers
+                                        # g % 128 != 0 (reference auto rule
+                                        # 2^(2+bits)=64 for int4)
+                                        ("int4", 64), ("uint4", 32)])
 def test_packed_int8_matmul(interpret, fmt_name, g):
     """Fused packed-weight int8 quantized matmul (group scales on int8 MXU
     partial dots) ≈ int8-quantized x against the dense dequantized weight."""
@@ -412,7 +417,10 @@ def test_packed_int8_matmul(interpret, fmt_name, g):
     from sdnq_tpu.quant.core import quantize_int_mm
     fmt = get_format(fmt_name)
     rng = np.random.default_rng(23)
-    m, k, o = 64, 1024, 128  # int3's 1-bit plane needs k/8 lane-aligned
+    k, o = 1024, 128  # int3's 1-bit plane needs k/8 lane-aligned
+    # fine groups route through the block-diagonal variant only; keep
+    # m * n_groups inside its gate
+    m = 64 if g >= 128 else 1024 // (k // g)
     ngroups = k // g
     x = jnp.asarray(rng.normal(size=(m, k)).astype(np.float32))
     q = rng.integers(int(fmt.min), int(fmt.max) + 1, (o, k))
@@ -434,3 +442,28 @@ def test_packed_int8_matmul(interpret, fmt_name, g):
     ref = (np.asarray(xq).astype(np.float64) @ wd.reshape(o, k).T
            * np.asarray(xs)) + bias[None]
     np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-3)
+
+
+def test_packed_int8_matmul_groupdot_path(interpret, monkeypatch):
+    """The per-group dot loop (large m * n_groups) matches the
+    block-diagonal variant on the same operands."""
+    from sdnq_tpu.kernels.dequant_mm import packed_int8_matmul
+    fmt = get_format("int4")
+    rng = np.random.default_rng(5)
+    m, k, o, g = 16, 1024, 128, 128
+    x = jnp.asarray(rng.normal(size=(m, k)).astype(np.float32))
+    q = rng.integers(int(fmt.min), int(fmt.max) + 1, (o, k))
+    scale = jnp.asarray(
+        rng.uniform(0.01, 0.02, (o, k // g)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(o,)).astype(np.float32))
+    wq = pack(jnp.asarray(q, jnp.int32), fmt, layout="halfsplit")
+    out_bd = packed_int8_matmul(x, wq, scale, None, bias, fmt, g,
+                                out_dtype=jnp.float32,
+                                pack_layout="halfsplit")
+    monkeypatch.setenv("SDNQ_TPU_BLOCKDIAG_MAX_MG", "1")
+    out_gd = packed_int8_matmul(x, wq, scale, None, bias, fmt, g,
+                                out_dtype=jnp.float32,
+                                pack_layout="halfsplit")
+    assert out_bd is not None and out_gd is not None
+    np.testing.assert_allclose(np.asarray(out_bd), np.asarray(out_gd),
+                               rtol=1e-5, atol=1e-5)
