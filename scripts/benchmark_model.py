@@ -40,6 +40,13 @@ def main():
                     default="both",
                     help="run one variant per process at Flux-scale "
                          "(peak HBM = one param copy + one stacked copy)")
+    ap.add_argument("--attn", choices=["none", "int8", "int8pv"],
+                    default="none",
+                    help="attention mode for the QUANT variant: 'none' = "
+                         "unquantized bf16 flash (fastest at d=128 — int8 "
+                         "QK gains nothing when the MXU contraction is only "
+                         "128 wide), 'int8' = int8 QK, 'int8pv' = int8 QK + "
+                         "const-scale int8 PV")
     args = ap.parse_args()
 
     hd = args.hidden // args.heads
@@ -107,8 +114,12 @@ def main():
             arch="FluxTransformer2DModel")
         free(params, keep=qp)
         qp = stack_dit_blocks(qp)
-        t_q = timeit(run(qp, {"matmul_dtype": "int8"}), img,
-                     steps=args.steps)
+        attn_cfg = {
+            "none": None,
+            "int8": {"matmul_dtype": "int8"},
+            "int8pv": {"matmul_dtype": "int8", "pv_matmul_dtype": "int8"},
+        }[args.attn]
+        t_q = timeit(run(qp, attn_cfg), img, steps=args.steps)
         vs = f"  {t_bf16/t_q:.2f}x bf16" if t_bf16 else ""
         print(f"{args.fmt}: {t_q*1e3:8.2f} ms/step ({1/t_q:.2f} steps/s)"
               f"{vs}", flush=True)

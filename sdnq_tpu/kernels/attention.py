@@ -68,7 +68,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, qs_ref, ks_ref, vs_ref, mask_ref,
                  n_k: int, d: int, causal: bool, has_mask: bool,
                  mask_is_bool: bool, quantized: bool, quantized_pv: bool,
                  sm_scale: float, kn_valid: int, partial_out: bool = False,
-                 use_exp2: bool = False):
+                 use_exp2: bool = False, pv_const: bool = False):
     i = pl.program_id(1)
     row0 = i * bm
 
@@ -86,6 +86,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, qs_ref, ks_ref, vs_ref, mask_ref,
     # exp2 skips the VPU's internal x*log2e step of exp.
     expf = jnp.exp2 if use_exp2 else jnp.exp
     mask_coef = math.log2(math.e) if use_exp2 else 1.0
+    _LOG2_127 = math.log2(127.0) if use_exp2 else math.log(127.0)
 
     row_ids = row0 + jax.lax.broadcasted_iota(jnp.int32, (bm, bk), 0)
 
@@ -98,9 +99,15 @@ def _attn_kernel(q_ref, k_ref, v_ref, qs_ref, ks_ref, vs_ref, mask_ref,
                 preferred_element_type=acc_t).astype(jnp.float32)
             s = s * qs * ks_ref[0, :, k0:k0 + bk]  # (1, BK)
         else:
+            # scale (and log2e for the exp2 path) is pre-folded into q by
+            # the wrapper, so the bf16 QK dot needs no epilogue multiply
+            # (f32 QK runs at half the bf16 MXU rate on v5e — measured
+            # 81 -> 91 TF from this change alone, scripts/exp_attention_v2)
             s = jax.lax.dot_general(
                 q, k_blk, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * sm_scale
+                preferred_element_type=jnp.float32)
+            if sm_scale != 1.0:
+                s = s * sm_scale
 
         col_ids = k0 + jax.lax.broadcasted_iota(jnp.int32, (bm, bk), 1)
         if kn_valid < n_k * bk:
@@ -115,11 +122,28 @@ def _attn_kernel(q_ref, k_ref, v_ref, qs_ref, ks_ref, vs_ref, mask_ref,
                 s = s + mblk.astype(jnp.float32) * mask_coef
 
         m_new = jnp.maximum(m_i, jnp.max(s, axis=-1, keepdims=True))
+        v_blk = v_ref[0, k0:k0 + bk, :]
+        if quantized_pv and pv_const:
+            # CONSTANT p scale: p = exp2(s - m) <= 1, so p*127 is int8-
+            # representable with no per-block max/requant; the 127 cancels
+            # against l in the final normalize.  V carries a per-head scale
+            # applied by the wrapper after the kernel.  (The reference
+            # requantizes P per row-block with per-token V scales folded in
+            # — triton_atten.py:169-185 — which costs ~4 extra VPU ops per
+            # logit; this path trades per-token V granularity for them.)
+            p127 = expf(s - (m_new - _LOG2_127))
+            alpha = expf(m_i - m_new)
+            l_i = l_i * alpha + jnp.sum(p127, axis=-1, keepdims=True)
+            p_q = jnp.round(p127).astype(jnp.int8)
+            pv = jax.lax.dot_general(
+                p_q, v_blk, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32).astype(jnp.float32)
+            acc = acc * alpha + pv
+            return m_new, l_i, acc
         p = expf(s - m_new)
         alpha = expf(m_i - m_new)
         l_i = l_i * alpha + jnp.sum(p, axis=-1, keepdims=True)
 
-        v_blk = v_ref[0, k0:k0 + bk, :]
         if quantized_pv:
             vs = vs_ref[0, :, k0:k0 + bk]          # (1, BK)
             p_eff = p * vs
@@ -163,24 +187,26 @@ def _attn_kernel(q_ref, k_ref, v_ref, qs_ref, ks_ref, vs_ref, mask_ref,
 
 @functools.partial(jax.jit, static_argnames=(
     "causal", "quantized", "quantized_pv", "sm_scale", "q_per_kv",
-    "mask_is_bool", "out_dtype", "bm", "bk", "kn_valid"))
+    "mask_is_bool", "out_dtype", "bm", "bk", "kn_valid", "pv_const"))
 def _attn_pallas(q, k, v, q_scale, k_scale, v_scale, mask, *, causal,
                  quantized, quantized_pv, sm_scale, q_per_kv, mask_is_bool,
-                 out_dtype, bm, bk, kn_valid):
+                 out_dtype, bm, bk, kn_valid, pv_const=False):
     bh, n, d = q.shape
     bh_kv, kn, _ = k.shape
     n_k = kn // bk
     has_mask = mask is not None
 
-    # exp2 softmax: fold log2(e) into the q-side scale (quantized) or the
-    # static sm_scale (unquantized); the kernel then uses exp2 throughout
+    # exp2 softmax: fold log2(e) into the q-side scale (quantized) or
+    # directly into q itself (unquantized — the wrapper pre-multiplies q,
+    # signalled by sm_scale == 0.0, so the bf16 QK dot has no epilogue)
     log2e = math.log2(math.e)
+    prefolded = sm_scale == 0.0
     # Mosaic-legal layouts: q_scale (BH, N, 1); k/v scales (BH, 1, KN)
     qs_in = (q_scale[..., None] * log2e if quantized
              else jnp.zeros((bh, n, 1), jnp.float32))
     ks_in = (k_scale[:, None, :] if quantized
              else jnp.zeros((bh_kv, 1, kn), jnp.float32))
-    vs_in = (v_scale[:, None, :] if quantized_pv
+    vs_in = (v_scale[:, None, :] if quantized_pv and v_scale is not None
              else jnp.zeros((bh_kv, 1, kn), jnp.float32))
     mask_in = mask if has_mask else jnp.zeros((1, 1, 8), jnp.int8)
     mask_bh = mask_in.shape[0]
@@ -188,8 +214,9 @@ def _attn_pallas(q, k, v, q_scale, k_scale, v_scale, mask, *, causal,
     kernel = functools.partial(
         _attn_kernel, bm=bm, bk=bk, n_k=n_k, d=d, causal=causal,
         has_mask=has_mask, mask_is_bool=mask_is_bool, quantized=quantized,
-        quantized_pv=quantized_pv, sm_scale=sm_scale * log2e,
-        kn_valid=kn_valid, use_exp2=True)
+        quantized_pv=quantized_pv,
+        sm_scale=1.0 if prefolded else sm_scale * log2e,
+        kn_valid=kn_valid, use_exp2=True, pv_const=pv_const)
 
     flops = 4 * n * kn * d * bh
     return pl.pallas_call(
@@ -420,6 +447,7 @@ def quantized_attention(
     hadamard_group_size: int = 256,
     matmul_dtype: str | None = "default",
     pv_matmul_dtype: str | None = None,
+    pv_scale_mode: str = "head",
     out_dtype=None,
     kv_scales: tuple | None = None,
 ) -> jax.Array:
@@ -428,6 +456,12 @@ def quantized_attention(
     query/key/value: (B, H, N, D) — torch SDPA layout (reference parity).
     ``matmul_dtype`` in {"int8", None/"none"/"disabled"}; ``pv_matmul_dtype``
     optionally "int8" to run P·V quantized too.
+
+    ``pv_scale_mode`` ("head" | "token") picks the int8 P·V flavor: "head"
+    quantizes V with one scale per (batch, kv-head) so the kernel can use a
+    CONSTANT p-scale (p <= 1 after online softmax — no per-block requant,
+    ~4 fewer VPU ops/logit); "token" is the reference's per-token V scale
+    with per-row-block P requantization (triton_atten.py:169-185).
 
     ``kv_scales=(k_scale, v_scale)`` marks key/value as PRE-quantized int8
     with per-token scales of shape (B, KH, KN) — the quantized-KV-cache
@@ -510,8 +544,17 @@ def quantized_attention(
     else:
         q_q, k_q = qf, kf
         q_scale = k_scale = None
+    pv_const = False
+    vs_head = None
     if kv_prequant:
         pass
+    elif do_quant_pv and pv_scale_mode == "head":
+        # per-(batch, kv-head) V scale -> constant-p-scale kernel path
+        pv_const = True
+        vs_head = jnp.maximum(jnp.abs(vf).max(axis=(1, 2), keepdims=True),
+                              1e-20) / 127.0          # (B*KH, 1, 1)
+        v_q = jnp.round(vf / vs_head).astype(jnp.int8)
+        v_scale = None
     elif do_quant_pv:
         v_q, v_s = quantize_int_mm(vf, axis=-1)
         v_scale = v_s.reshape(b * kh, kn)
@@ -523,6 +566,15 @@ def quantized_attention(
     use_kernel = (use_pallas() and n % 8 == 0 and d <= 256
                   and kn % 128 == 0)
     if use_kernel:
+        sm_for_kernel = float(scale)
+        if not do_quant:
+            # fold softmax scale + log2(e) into q and run the QK dot in
+            # bf16 (f32 MXU is half rate on v5e); sm_scale=0.0 tells the
+            # kernel the scale is pre-folded
+            log2e = math.log2(math.e)
+            q_q = (q_q * (scale * log2e)).astype(jnp.bfloat16)
+            k_q = k_q.astype(jnp.bfloat16)
+            sm_for_kernel = 0.0
         q_in = _pad_last(q_q, dpad)
         k_in = _pad_last(k_q, dpad)
         if not do_quant_pv:
@@ -541,11 +593,19 @@ def quantized_attention(
         out = _attn_pallas(
             q_in, k_in, v_in, q_scale, k_scale, v_scale, mask,
             causal=is_causal, quantized=do_quant, quantized_pv=do_quant_pv,
-            sm_scale=float(scale), q_per_kv=q_per_kv,
+            sm_scale=sm_for_kernel, q_per_kv=q_per_kv,
             mask_is_bool=mask_is_bool, out_dtype=jnp.dtype(out_dtype),
-            bm=bm, bk=bk, kn_valid=kn)
+            bm=bm, bk=bk, kn_valid=kn, pv_const=pv_const)
+        if pv_const:
+            vs_rep = jnp.repeat(vs_head, q_per_kv, axis=0)
+            out = (out * vs_rep).astype(jnp.dtype(out_dtype))
         out = out[..., :vd]
     else:
+        if pv_const:
+            # XLA fallback approximates the const-p-scale kernel with the
+            # generic per-token path over uniform V scales (p_scale then
+            # resolves to ~1/127 — numerically equivalent)
+            v_scale = jnp.ones((b * kh, kn), jnp.float32)
         if q_per_kv > 1:
             k_q = jnp.repeat(k_q, q_per_kv, axis=0)
             v_q = jnp.repeat(v_q, q_per_kv, axis=0)
@@ -558,4 +618,7 @@ def quantized_attention(
                         quantized_pv=do_quant_pv, sm_scale=float(scale),
                         mask_is_bool=mask_is_bool,
                         out_dtype=jnp.dtype(out_dtype))
+        if pv_const:
+            vs_rep = jnp.repeat(vs_head, q_per_kv, axis=0)
+            out = (out * vs_rep).astype(jnp.dtype(out_dtype))
     return out.reshape(b, h, n, vd)
