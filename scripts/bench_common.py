@@ -57,7 +57,12 @@ def timeit_chained(fn, x, steps=10, inner=32, calibrate=False):
     def chain(f, inner):
         def body(c, _):
             y = f(c)
-            c = c * (1 + 1e-30 * jnp.sum(y).astype(jnp.float32)).astype(c.dtype)
+            # couple via a NONLINEAR reduction: sum(y) commutes through a
+            # final linear layer (XLA rewrites sum(W@x) to colsum(W)@x and
+            # elides the matmul — measured 265 "TF" on an int8 MLP whose
+            # ceiling is 190); sum(y*y) cannot be simplified away.
+            yf = y.astype(jnp.float32)
+            c = c * (1 + 1e-30 * jnp.sum(yf * yf)).astype(c.dtype)
             return c, ()
         return jax.jit(lambda x0: jax.lax.scan(body, x0, None, length=inner)[0])
 

@@ -40,6 +40,13 @@ def main():
                     default="both",
                     help="run one variant per process at Flux-scale "
                          "(peak HBM = one param copy + one stacked copy)")
+    ap.add_argument("--no-stack", action="store_true",
+                    help="keep the QUANT variant's blocks as an unrolled "
+                         "list instead of scan-stacking: stacked QTensor "
+                         "slices can't alias into the Pallas matmuls, so "
+                         "scan copies every weight every layer (~1.1 ms/"
+                         "block at Flux width); unrolling trades compile "
+                         "time for that copy")
     ap.add_argument("--attn", choices=["none", "int8", "int8pv"],
                     default="none",
                     help="attention mode for the QUANT variant: 'none' = "
@@ -113,7 +120,8 @@ def main():
                                 use_quantized_matmul=True),
             arch="FluxTransformer2DModel")
         free(params, keep=qp)
-        qp = stack_dit_blocks(qp)
+        if not args.no_stack:
+            qp = stack_dit_blocks(qp)
         attn_cfg = {
             "none": None,
             "int8": {"matmul_dtype": "int8"},

@@ -327,6 +327,17 @@ def make_staged_dit_forward(cfg: DiTConfig, attn_config: dict | None = None):
 
     @jax.jit
     def run_double(tb, img, txt, vec, freqs):
+        # UNSTACKED list -> unrolled python loop.  For QUANTIZED stacked
+        # params the scan's per-iteration dynamic-slice of int8 code
+        # arrays cannot alias into the Pallas matmul custom-calls, so XLA
+        # materializes a copy of every weight every layer (~1.1 ms/block
+        # at Flux width — measured 40.4 ms scanned vs 34.9 ms unrolled for
+        # 5 double blocks; bf16 params alias fine: 47.0 vs 48.1 ms).
+        if isinstance(tb, (list, tuple)):
+            for blk in tb:
+                img, txt = _double_block(blk, img, txt, vec, freqs, cfg,
+                                         acfg)
+            return img, txt
         def dbody(carry, blk):
             i, t = carry
             return _double_block(blk, i, t, vec, freqs, cfg, acfg), None
@@ -339,6 +350,10 @@ def make_staged_dit_forward(cfg: DiTConfig, attn_config: dict | None = None):
 
     @jax.jit
     def run_single(sb, x, vec, freqs):
+        if isinstance(sb, (list, tuple)):
+            for blk in sb:
+                x = _single_block(blk, x, vec, freqs, cfg, acfg)
+            return x
         def sbody(h, blk):
             return _single_block(blk, h, vec, freqs, cfg, acfg), None
         if isinstance(sb, dict) and "first" in sb:
