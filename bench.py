@@ -31,21 +31,26 @@ STEPS = 5
 INNER = 16
 
 
-def _time(fn, *args, steps=STEPS):
+def _time(fn, x0, steps=STEPS):
     """Chained-scan timing: the axon tunnel pays a DRIFTING 0.8-5 ms
     per-program dispatch cost that does NOT pipeline across calls, so
     per-call timing pollutes a 2-7 ms op by 10-100%+ (measured: a trivial
     (8,128) op reports 156 us/iter at inner=32 vs 3.5 at inner=1024).
     Chain INNER data-dependent iterations inside one scan and subtract the
     measured empty-chain floor; baseline and quantized rows get identical
-    treatment, so the ratio is the honest on-chip one."""
-    x0 = args[0]
+    treatment, so the ratio is the honest on-chip one.
+
+    The carry couples through sum(y*y), NOT sum(y): sum over a final
+    linear layer commutes (sum(W@x) -> colsum(W)@x) and XLA's algebraic
+    simplifier elides the matmul under test.  The floor chain broadcasts
+    its carry to fn's output shape so both chains pay the same reduction
+    cost."""
+    out_shape = jax.eval_shape(fn, x0).shape
 
     def chain(f):
         def body(c, _):
-            y = f(c)
-            c = c * (1 + 1e-30 * jnp.sum(y).astype(jnp.float32)) \
-                .astype(c.dtype)
+            y = f(c).astype(jnp.float32)
+            c = c * (1 + 1e-30 * jnp.sum(y * y)).astype(c.dtype)
             return c, ()
         return jax.jit(
             lambda c0: jax.lax.scan(body, c0, None, length=INNER)[0])
@@ -60,7 +65,8 @@ def _time(fn, *args, steps=STEPS):
         return (time.perf_counter() - t0) / steps / INNER
 
     t = run(chain(fn))
-    t_floor = run(chain(lambda c: c))
+    t_floor = run(chain(
+        lambda c: jnp.broadcast_to(c[:, :1], out_shape)))
     return max(t - t_floor, 1e-9)
 
 

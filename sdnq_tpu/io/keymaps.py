@@ -22,7 +22,9 @@ from .hf import load_and_quantize_state_dict
 __all__ = ["llama_key_map", "clip_text_key_map", "sd_unet_key_map",
            "flux_key_map", "fuse_flux_params", "flux_config_from_hf",
            "llama_config_from_hf", "clip_config_from_hf",
-           "load_llama", "load_clip_text", "load_flux"]
+           "load_llama", "load_clip_text", "load_flux",
+           "t5_key_map", "t5_config_from_hf", "load_t5",
+           "vae_key_map", "vae_config_from_hf", "load_vae"]
 
 
 def llama_key_map(key: str) -> str | None:
@@ -269,3 +271,120 @@ def load_flux(path: str, config: QuantConfig | None = None,
     qparams, config = quantize_model(params, config,
                                      arch="FluxTransformer2DModel")
     return qparams, dit_cfg, config
+
+
+# ---------------------------------------------------------------------------
+# T5 encoder (transformers T5EncoderModel -> models/text_encoder.py T5 tree)
+# ---------------------------------------------------------------------------
+
+def t5_key_map(key: str) -> str | None:
+    """transformers T5EncoderModel -> models/text_encoder.py T5 tree.
+
+    ``encoder.block.N.layer.0.*`` (self-attention + its layer_norm) and
+    ``layer.1.*`` (gated-gelu DenseReluDense) flatten into one block dict;
+    the relative-attention bias table lives only in block 0 and hoists to
+    the tree root.  Only the gated (wi_0/wi_1) feed-forward variant is
+    supported — T5 v1.1 / flan / the SD3+Flux T5-XXL all use it."""
+    if key == "shared.weight":
+        return key
+    if key == "encoder.embed_tokens.weight":
+        return None                      # duplicate view of shared.weight
+    if key == "encoder.final_layer_norm.weight":
+        return "final_layer_norm.weight"
+    if key.startswith("encoder.block."):
+        rest = key[len("encoder.block."):]
+        idx, sub = rest.split(".", 1)
+        if sub == "layer.0.SelfAttention.relative_attention_bias.weight":
+            return "relative_attention_bias.weight"
+        if sub.startswith("layer.0.SelfAttention."):
+            return f"block.{idx}.SelfAttention." \
+                   f"{sub[len('layer.0.SelfAttention.'):]}"
+        if sub == "layer.0.layer_norm.weight":
+            return f"block.{idx}.layer_norm0.weight"
+        if sub.startswith("layer.1.DenseReluDense."):
+            return f"block.{idx}.DenseReluDense." \
+                   f"{sub[len('layer.1.DenseReluDense.'):]}"
+        if sub == "layer.1.layer_norm.weight":
+            return f"block.{idx}.layer_norm1.weight"
+    return None
+
+
+def t5_config_from_hf(path: str):
+    from ..models.text_encoder import T5Config
+    c = _read_hf_config(path)
+    return T5Config(
+        vocab_size=c["vocab_size"],
+        hidden_size=c["d_model"],
+        num_layers=c["num_layers"],
+        num_heads=c["num_heads"],
+        head_dim=c.get("d_kv", c["d_model"] // c["num_heads"]),
+        ff_dim=c["d_ff"],
+        rel_buckets=c.get("relative_attention_num_buckets", 32),
+        rel_max_distance=c.get("relative_attention_max_distance", 128),
+    )
+
+
+def load_t5(path: str, config: QuantConfig | None = None,
+            dtype=jnp.bfloat16, rng=None):
+    """Stream + quantize a transformers T5EncoderModel checkpoint
+    directory.  Returns (params, T5Config, QuantConfig)."""
+    t5_cfg = t5_config_from_hf(path)
+    params, config = load_and_quantize_state_dict(
+        path, config, arch="t5", key_map=t5_key_map,
+        kinds={"shared.weight": "embedding",
+               "relative_attention_bias.weight": "embedding"},
+        dtype=dtype, rng=rng)
+    return params, t5_cfg, config
+
+
+# ---------------------------------------------------------------------------
+# VAE (diffusers AutoencoderKL -> models/vae.py tree)
+# ---------------------------------------------------------------------------
+
+def vae_key_map(key: str) -> str | None:
+    """diffusers AutoencoderKL -> models/vae.py tree.
+
+    Names already align (the tree was written against diffusers); the only
+    rewrites are the attention blocks' ``to_out.0`` (torch ModuleList) ->
+    ``to_out`` and legacy ``.query/.key/.value/.proj_attn`` names from
+    pre-0.19 diffusers checkpoints.  ``quant_conv``/``post_quant_conv``
+    stay top-level — vae_encode/vae_decode consume them when present."""
+    if key.endswith((".running_mean", ".running_var",
+                     ".num_batches_tracked")):
+        return None
+    key = key.replace(".to_out.0.", ".to_out.")
+    for old, new in ((".query.", ".to_q."), (".key.", ".to_k."),
+                     (".value.", ".to_v."), (".proj_attn.", ".to_out.")):
+        key = key.replace(old, new)
+    return key
+
+
+def vae_config_from_hf(path: str):
+    from ..models.vae import VAEConfig
+    c = _read_hf_config(path)
+    mults = [bc // c["block_out_channels"][0]
+             for bc in c["block_out_channels"]]
+    return VAEConfig(
+        latent_channels=c.get("latent_channels", 4),
+        base_channels=c["block_out_channels"][0],
+        channel_mults=tuple(mults),
+        layers_per_block=c.get("layers_per_block", 2),
+        out_channels=c.get("out_channels", 3),
+        norm_groups=c.get("norm_num_groups", 32),
+        scaling_factor=c.get("scaling_factor", 0.18215),
+    )
+
+
+def load_vae(path: str, config: QuantConfig | None = None,
+             dtype=jnp.bfloat16, rng=None):
+    """Stream + quantize a diffusers AutoencoderKL checkpoint directory.
+    Returns (params, VAEConfig, QuantConfig).
+
+    Conv weights stay OIHW (qconv transposes at trace time); by default
+    the VAE is left unquantized like the reference's skip-list does for
+    VAE modules (policy.MODEL_SKIP_KEYS) unless the QuantConfig says
+    otherwise."""
+    vae_cfg = vae_config_from_hf(path)
+    params, config = load_and_quantize_state_dict(
+        path, config, arch="vae", key_map=vae_key_map, dtype=dtype, rng=rng)
+    return params, vae_cfg, config

@@ -935,6 +935,26 @@ def _blockdiag_i8_mm_pallas(xq, xs, wq, scale, zp, bias, *, code_bits,
 # G-fold redundant MACs) stops paying vs the per-group dot loop
 _BLOCKDIAG_MAX_MG = 1024
 
+# blockdiag was motivated by true decode batches (m ~ 1-16); above this many
+# rows the groupdot kernel's m-tiled (parallel, arbitrary) grid wins when
+# it is eligible, so blockdiag only serves small m and fine-group shapes
+# groupdot cannot tile
+_BLOCKDIAG_PREFER_M = 32
+
+
+def _blockdiag_vmem_ok(mg: int, kdim: int, x_itemsize: int,
+                       code_bits: int, bn: int = 512) -> bool:
+    """VMEM feasibility of the untiled blockdiag kernel: it keeps the full
+    (mg, kdim) xx operand, a (bn, kdim) decode scratch, and a (bn,
+    kdim*code_bits/8) weight block resident (no K tiling).  At the old
+    gates' extremes (mg=1024, kdim=32768, bf16) xx alone is 64 MB and
+    Mosaic fails at runtime instead of falling through (ADVICE r2)."""
+    resident = (mg * kdim * x_itemsize            # xx
+                + bn * kdim * x_itemsize          # decode scratch
+                + bn * kdim * code_bits // 8      # weight block
+                + mg * mg * 4 + 2 * mg * kdim)    # r matrix + slack
+    return resident <= int(vmem_limit_bytes() * 0.9)
+
 
 def packed_int8_matmul(x: jax.Array, wq: jax.Array, scale: jax.Array,
                        zero_point: jax.Array | None,
@@ -961,14 +981,18 @@ def packed_int8_matmul(x: jax.Array, wq: jax.Array, scale: jax.Array,
     if not (seg % 128 == 0 and kdim <= _MAX_K):
         return None
     bd_max = env_int("SDNQ_TPU_BLOCKDIAG_MAX_MG", _BLOCKDIAG_MAX_MG)
-    if m * n_groups <= bd_max:
+    groupdot_ok = g % 128 == 0 and g <= seg and n_groups <= 64
+    bd_ok = (m * n_groups <= bd_max
+             and _blockdiag_vmem_ok(m * n_groups, kdim, 1, fmt.code_bits)
+             and not (groupdot_ok and m > _BLOCKDIAG_PREFER_M))
+    if bd_ok:
         # small-M: block-diagonal single-dot variant (any group size)
         xq, xs = quantize_int_mm(x.astype(jnp.float32), axis=-1)
         return _blockdiag_i8_mm_pallas(
             xq, xs.reshape(-1, 1), wq, scale, zero_point, bias,
             code_bits=fmt.code_bits, code_min=int(fmt.min),
             group_size=group_size, out_dtype=jnp.dtype(out_dtype))
-    if not (g % 128 == 0 and g <= seg and n_groups <= 64):
+    if not groupdot_ok:
         return None
     xq, xs = quantize_int_mm(x.astype(jnp.float32), axis=-1)
     ov = env_blocks("SDNQ_TPU_GROUPDOT_BLOCKS", 2)
@@ -1001,8 +1025,15 @@ def dequant_matmul(x: jax.Array, wq: jax.Array, scale: jax.Array,
         pmax = max(8 // w for w, _ in halfsplit_planes(fmt.code_bits))
         seg = kdim // pmax
         bd_max = env_int("SDNQ_TPU_BLOCKDIAG_MAX_MG", _BLOCKDIAG_MAX_MG)
+        gd_ok = (seg % 128 == 0 and kdim <= _MAX_K and kdim % g == 0
+                 and kdim // g <= 512 and g % pmax == 0)
+        itemsize = 2 if (x.dtype != jnp.float32
+                         or kernel_backend() == "pallas") else 4
         bd_ok = (seg % 128 == 0 and kdim <= _MAX_K and kdim % g == 0
-                 and m * (kdim // g) <= bd_max)
+                 and m * (kdim // g) <= bd_max
+                 and _blockdiag_vmem_ok(m * (kdim // g), kdim, itemsize,
+                                        fmt.code_bits)
+                 and not (gd_ok and m > _BLOCKDIAG_PREFER_M))
         if use_pallas() and bd_ok:
             xk = (x.astype(jnp.bfloat16)
                   if x.dtype == jnp.float32 and kernel_backend() == "pallas"
@@ -1013,9 +1044,12 @@ def dequant_matmul(x: jax.Array, wq: jax.Array, scale: jax.Array,
                 code_min=int(fmt.min) if fmt.is_integer else 0,
                 is_float=not fmt.is_integer,
                 group_size=group_size, out_dtype=jnp.dtype(out_dtype))
-        ok = (seg % 128 == 0 and kdim <= _MAX_K and kdim % g == 0
-              and kdim // g <= 512 and g % pmax == 0)
-        if use_pallas() and ok and not (mat_rows > 0 and m >= mat_rows):
+        # compute-bound rows (m >= mat_rows) stay in the groupdot kernel
+        # for half-split layouts: the XLA materialize route must unpack
+        # field-planes value-by-value in uint8 VPU code, which measured
+        # SLOWER than bf16 (bench int4wo 0.83x r1 bitplane -> 0.58x r2
+        # halfsplit); the in-kernel decode is one shift+mask per plane.
+        if use_pallas() and gd_ok:
             xk = (x.astype(jnp.bfloat16)
                   if x.dtype == jnp.float32 and kernel_backend() == "pallas"
                   else x)

@@ -141,10 +141,17 @@ def _mid_attn(p, x, groups):
 
 
 def vae_decode(params, z, cfg: VAEConfig):
-    """z: (N, h, w, latent_channels) -> image (N, 8h, 8w, 3) in [-1, 1]."""
+    """z: (N, h, w, latent_channels) -> image (N, 8h, 8w, 3) in [-1, 1].
+
+    ``post_quant_conv`` (the diffusers AutoencoderKL 1x1 latent conv) is
+    applied when present — real SD checkpoints carry it (io/keymaps.py
+    load_vae); randomly-initialized trees omit it."""
     p = params["decoder"]
     groups = cfg.norm_groups
     z = z / cfg.scaling_factor
+    if "post_quant_conv" in params:
+        pq = params["post_quant_conv"]
+        z = qconv(z, pq["weight"], pq.get("bias"), padding="SAME")
     h = qconv(z, p["conv_in"]["weight"], p["conv_in"].get("bias"),
               padding="SAME")
     h = _resnet(p["mid_block"]["resnets"][0], h, groups)
@@ -185,6 +192,10 @@ def vae_encode(params, x, cfg: VAEConfig, rng=None):
                    p["conv_norm_out"]["bias"], groups)
     moments = qconv(silu(h), p["conv_out"]["weight"],
                     p["conv_out"].get("bias"), padding="SAME")
+    if "quant_conv" in params:
+        qq = params["quant_conv"]
+        moments = qconv(moments, qq["weight"], qq.get("bias"),
+                        padding="SAME")
     mean, logvar = jnp.split(moments, 2, axis=-1)
     if rng is not None:
         mean = mean + jnp.exp(0.5 * jnp.clip(logvar, -30, 20)) \
