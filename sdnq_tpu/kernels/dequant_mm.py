@@ -931,15 +931,39 @@ def _blockdiag_i8_mm_pallas(xq, xs, wq, scale, zp, bias, *, code_bits,
     )(xx, wq, scale_t, zpc_t, xs, r, bias_in)
 
 
-# rows beyond which the block-diagonal expansion (m*G x K int8 xx operand +
-# G-fold redundant MACs) stops paying vs the per-group dot loop
-_BLOCKDIAG_MAX_MG = 1024
-
 # blockdiag was motivated by true decode batches (m ~ 1-16); above this many
 # rows the groupdot kernel's m-tiled (parallel, arbitrary) grid wins when
 # it is eligible, so blockdiag only serves small m and fine-group shapes
 # groupdot cannot tile
 _BLOCKDIAG_PREFER_M = 32
+
+# v5e roofline constants for the blockdiag cost gate (ratios only — the
+# gate compares MXU time to HBM time, so absolute calibration drift
+# cancels to first order)
+_MXU_INT8_FLOPS = 394e12
+_MXU_BF16_FLOPS = 197e12
+_HBM_BYTES_S = 819e9
+
+
+def _blockdiag_mg_limit(code_bits: int, int8_mxu: bool) -> int:
+    """Max m*n_groups for which the block-diagonal expansion still pays.
+
+    The blockdiag kernel replaces n_groups per-group dots with ONE full-K
+    dot on an (m*G, K) operand — m*G-fold redundant MACs.  It wins only
+    while that MAC time hides under the HBM weight-read floor:
+        mg*K*O*2/R  <=  alpha * O*K*code_bits/8 / B
+        mg          <=  alpha * code_bits * R / (16 B)
+    (alpha=2: at equality the kernel is ~2x the floor, about where the
+    measured groupdot alternative sits).  The round-2 fixed gate of 1024
+    let M=16 x G=32 shapes run 32-fold-redundant and MXU-bound at 0.44x
+    bf16 (benchmarks/tpu_v5e_small_m.txt round-3 rerun).
+    SDNQ_TPU_BLOCKDIAG_MAX_MG overrides when set."""
+    from ..envconfig import env_int
+    ov = env_int("SDNQ_TPU_BLOCKDIAG_MAX_MG", 0)
+    if ov:
+        return ov
+    rate = _MXU_INT8_FLOPS if int8_mxu else _MXU_BF16_FLOPS
+    return int(2 * code_bits * rate / (16 * _HBM_BYTES_S))
 
 
 def _blockdiag_vmem_ok(mg: int, kdim: int, x_itemsize: int,
@@ -980,8 +1004,13 @@ def packed_int8_matmul(x: jax.Array, wq: jax.Array, scale: jax.Array,
     n_groups = kdim // g
     if not (seg % 128 == 0 and kdim <= _MAX_K):
         return None
-    bd_max = env_int("SDNQ_TPU_BLOCKDIAG_MAX_MG", _BLOCKDIAG_MAX_MG)
     groupdot_ok = g % 128 == 0 and g <= seg and n_groups <= 64
+    # tight cost gate when the groupdot kernel can serve the shape; loose
+    # (old fixed cap) when it can't — redundant MACs still beat the
+    # rowwise-requantize materialize fallback for fine groups
+    bd_max = _blockdiag_mg_limit(fmt.code_bits, int8_mxu=True)
+    if not groupdot_ok:
+        bd_max = max(bd_max, 1024)
     bd_ok = (m * n_groups <= bd_max
              and _blockdiag_vmem_ok(m * n_groups, kdim, 1, fmt.code_bits)
              and not (groupdot_ok and m > _BLOCKDIAG_PREFER_M))
@@ -1024,9 +1053,11 @@ def dequant_matmul(x: jax.Array, wq: jax.Array, scale: jax.Array,
         mat_rows = env_int("SDNQ_TPU_DEQUANT_MATERIALIZE_ROWS", 4096)
         pmax = max(8 // w for w, _ in halfsplit_planes(fmt.code_bits))
         seg = kdim // pmax
-        bd_max = env_int("SDNQ_TPU_BLOCKDIAG_MAX_MG", _BLOCKDIAG_MAX_MG)
         gd_ok = (seg % 128 == 0 and kdim <= _MAX_K and kdim % g == 0
                  and kdim // g <= 512 and g % pmax == 0)
+        bd_max = _blockdiag_mg_limit(fmt.code_bits, int8_mxu=False)
+        if not gd_ok:
+            bd_max = max(bd_max, 1024)
         itemsize = 2 if (x.dtype != jnp.float32
                          or kernel_backend() == "pallas") else 4
         bd_ok = (seg % 128 == 0 and kdim <= _MAX_K and kdim % g == 0

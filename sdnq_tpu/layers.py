@@ -80,15 +80,17 @@ def _weight_as_int8(qt: QTensor):
     return q, scale, qt.zero_point.reshape(scale.shape) if qt.zero_point is not None else None
 
 
-def _requantize_rowwise(qt: QTensor):
+def _requantize_rowwise(qt: QTensor, mfmt=None):
     """Group-wise / packed storage -> row-wise matmul operands on the fly
     (reference: dequantizer.py:115-179).  Dequantizes without SVD and
     without undoing the Hadamard rotation (both are handled at the input
-    side of the matmul)."""
+    side of the matmul).  ``mfmt`` overrides the target matmul format
+    (fp8-to-int8 execution routing on chips without an fp8 MXU)."""
     wd = dequantize(qt, dtype=jnp.float32, with_svd=False, with_hadamard=False)
     if wd.ndim > 2:
         wd = wd.reshape(wd.shape[0], -1)
-    mfmt = qt.meta.matmul_format
+    if mfmt is None:
+        mfmt = qt.meta.matmul_format
     if mfmt.is_integer:
         if mfmt.is_unsigned:
             w_q, s, zp = quantize_uint_mm(wd, axis=-1)
@@ -119,6 +121,17 @@ def _quantized_matmul_2d(x2d, qt: QTensor, bias, out_dtype,
     in rotated space and must be rotated back (train/matmul does this)."""
     meta = qt.meta
     mfmt = meta.matmul_format
+
+    # fp8-on-TPU execution routing: chips without an fp8 MXU run fp8 dots
+    # at the bf16 rate (~1.0x measured); execute on the int8 MXU instead,
+    # storage untouched (reference capability-flag pattern:
+    # kernel_wrappers.py:11-105).
+    from .kernels.dispatch import route_fp8_to_int8
+    routed_fp8 = (not mfmt.is_integer and mfmt.num_bits == 8
+                  and route_fp8_to_int8())
+    if routed_fp8:
+        from .formats import get_format
+        mfmt = get_format("int8")
 
     if meta.use_hadamard:
         x2d = rotate_hadamard(x2d, meta.hadamard_group_size,
@@ -161,7 +174,11 @@ def _quantized_matmul_2d(x2d, qt: QTensor, bias, out_dtype,
                            + u.astype(jnp.float32) @ v.astype(jnp.float32)
                            ).astype(out_dtype)
                 return out
-        w_q, w_scale, w_zp = _requantize_rowwise(qt)
+        w_q, w_scale, w_zp = _requantize_rowwise(qt, mfmt)
+    elif routed_fp8:
+        # storage could feed a native fp8 MXU directly but there is none:
+        # dequantize + rowwise-requantize to int8 on the fly
+        w_q, w_scale, w_zp = _requantize_rowwise(qt, mfmt)
     else:
         if mfmt.is_integer:
             w_q, w_scale, w_zp = _weight_as_int8(qt)

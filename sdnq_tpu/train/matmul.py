@@ -142,6 +142,20 @@ def _uint8_zp_rows(b_q, b_s, b_zp, kdim):
     return z, colsum * s + float(kdim) * z
 
 
+def _exec_fmt(mm_fmt: str) -> str:
+    """Execution matmul family for ``mm_fmt`` on this chip: fp8 requests
+    route to int8 execution on TPUs without an fp8 MXU (storage and API
+    stay fp8; see kernels/dispatch.route_fp8_to_int8).  Forward emit,
+    saved-activation quantize, and backward GEMMs all use this so the
+    residual codes and the kernels that consume them agree."""
+    f = get_format(mm_fmt)
+    if not f.is_integer and f.num_bits == 8:
+        from ..kernels.dispatch import route_fp8_to_int8
+        if route_fp8_to_int8():
+            return "int8"
+    return mm_fmt
+
+
 def _dynamic_mm(a: jax.Array, b_t: jax.Array, mm_fmt: str = "int8",
                 out_dtype=jnp.float32) -> jax.Array:
     """a (M, K) fp × b_t (N, K) fp -> (M, N): both operands quantized
@@ -260,7 +274,7 @@ def _train_linear_fwd(x2d, delta, qt, bias, save_q_acts,
         # ever materialized.  Saved in the layer's own matmul-dtype family
         # (reference saves int8 in the int8 _ckpt variant, fp8 in the fp8
         # one, …: linear_*_ckpt.py)
-        f = get_format(qt.meta.matmul_fmt)
+        f = get_format(_exec_fmt(qt.meta.matmul_fmt))
         xf = x2d.astype(jnp.float32)
         if f.is_integer and not f.is_unsigned:
             saved = quantize_int_mm(xf, axis=0)
@@ -281,7 +295,7 @@ def _train_linear_bwd(save_q_acts, use_quantized_matmul, res, g):
     # per-chunk in VMEM — an eager astype(f32) would materialize a 2x
     # larger copy in HBM and double the g read traffic of every bwd GEMM
     g2d = g.reshape(-1, g.shape[-1])
-    mm_fmt = qt.meta.matmul_fmt
+    mm_fmt = _exec_fmt(qt.meta.matmul_fmt)
 
     # grad_input = g @ W  (reference linear_int8.py:125-163).  When the
     # stored weight already IS a row-wise int8/uint8 matmul operand, reuse
