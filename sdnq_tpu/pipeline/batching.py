@@ -77,6 +77,7 @@ class ContinuousBatcher:
         self.t_idx = np.zeros((num_slots,), np.int32)
         self.steps_left = np.zeros((num_slots,), np.int32)
         self.completed: list[Request] = []
+        self._fetch_fn = None
         self.total_slot_steps = 0
         self.active_slot_steps = 0
 
@@ -121,6 +122,22 @@ class ContinuousBatcher:
     def busy(self) -> bool:
         return bool(self.queue) or any(s is not None for s in self.slots)
 
+    def _fetch_slot(self, s: int) -> np.ndarray:
+        """Read one slot's latent back to the host.  Under true
+        multi-process SPMD the slot axis is sharded across processes, so
+        the raw array is not fully addressable: replicate the one slot
+        (a tiny all-gather over the data axis) before the host read.
+        Every process executes the same fetch, keeping the
+        single-controller program identical on all hosts."""
+        if self.mesh is not None and jax.process_count() > 1:
+            from jax.sharding import NamedSharding, PartitionSpec
+            rep = NamedSharding(self.mesh, PartitionSpec())
+            if self._fetch_fn is None:
+                self._fetch_fn = jax.jit(lambda l, i: l[i],
+                                         out_shardings=rep)
+            return np.asarray(self._fetch_fn(self.latents, s))
+        return np.asarray(self.latents[s])
+
     def run(self, max_iterations: int = 100000):
         """Drain the queue; returns completed requests in finish order."""
         it = 0
@@ -140,7 +157,7 @@ class ContinuousBatcher:
             for s in range(self.num_slots):
                 if self.slots[s] is not None and self.steps_left[s] <= 0:
                     req = self.slots[s]
-                    req.result = np.asarray(self.latents[s])
+                    req.result = self._fetch_slot(s)
                     self.completed.append(req)
                     self.slots[s] = None
         return self.completed
