@@ -75,6 +75,14 @@ def main():
             params,
             QuantConfig(weights_dtype=args.fmt, use_quantized_matmul=True),
             arch=arch)
+        # SDXL bf16 params are ~5 GB: freeing the fp originals (quantized
+        # trees share skipped leaves by reference) keeps the quant run
+        # inside the 16 GB chip alongside full-res activations — leaving
+        # them resident crashed the TPU worker mid-forward
+        keep = {id(leaf) for leaf in jax.tree_util.tree_leaves(qp)}
+        for leaf in jax.tree_util.tree_leaves(params):
+            if hasattr(leaf, "delete") and id(leaf) not in keep:
+                leaf.delete()
         t_q = timeit(run(qp, {"matmul_dtype": "int8"}), x, steps=args.steps)
         vs = f"  {t_bf16/t_q:.2f}x bf16" if t_bf16 else ""
         print(f"{args.fmt}: {t_q*1e3:8.2f} ms/step "

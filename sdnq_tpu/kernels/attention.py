@@ -667,8 +667,10 @@ def quantized_attention(
         v_scale = None
 
     dpad = max(128, next_power_of_2(d))
+    from ..envconfig import env_bool
     use_kernel = (use_pallas() and n % 8 == 0 and d <= 256
-                  and kn % 128 == 0)
+                  and kn % 128 == 0
+                  and not env_bool("SDNQ_TPU_ATTN_FORCE_XLA", False))
     if use_kernel:
         sm_for_kernel = float(scale)
         if not do_quant:

@@ -229,7 +229,7 @@ def _scaled_mm_pallas(x_q, w_q, x_scale, w_scale, bias, u=None, v=None,
 
 def _fused_act_mm_kernel(x_ref, w_ref, ws_ref, bias_ref, u_ref, v_ref,
                          vz0_ref, vz1_ref, cs_ref, out_ref,
-                         xq_ref, xs_ref, rs_ref, zp_ref, *, qmax, acc_dtype,
+                         xq_ref, xs_ref, zp_ref, rs_ref, *, qmax, acc_dtype,
                          has_ws, has_bias, has_uv, asym, fuse_fp8,
                          b_dim0, has_cs):
     j = pl.program_id(1)
@@ -400,15 +400,22 @@ def _fused_act_mm_pallas(x, w_q, w_scale, bias, u=None, v=None,
     scratch = [
         pltpu.VMEM((bm_, kdim), qdt),        # quantized x
         pltpu.VMEM((bm_, 1), jnp.float32),   # row scales
-        pltpu.VMEM((bm_, 1), jnp.float32),   # rowsum * scale (asym)
         pltpu.VMEM((bm_, 1), jnp.float32),   # row zero points (asym)
+        pltpu.VMEM((bm_, 1), jnp.float32),   # rowsum * scale (asym)
     ]
     if emit_q:
+        # the asymmetric prologue stores SIGNED codes with a per-row affine
+        # (x = x_q*scale + zp), so the ckpt residual just adds the zp rows
         out_specs = [out_specs, xq_spec, xs_spec]
         out_shape = [out_shape,
                      jax.ShapeDtypeStruct((m, kdim), qdt),
                      jax.ShapeDtypeStruct((m, 1), jnp.float32)]
-        scratch = scratch[2:]
+        if asym:
+            out_specs.append(xs_spec)
+            out_shape.append(jax.ShapeDtypeStruct((m, 1), jnp.float32))
+            scratch = scratch[3:]
+        else:
+            scratch = scratch[2:]
     return pl.pallas_call(
         kernel,
         grid=(n_i, n_j),
@@ -726,12 +733,15 @@ def scaled_mm_fused_act(x, w_q,
     as-is when the cotangent plays the x role, with no int8 transpose
     materialized in HBM (reference linear_int8.py:125-163 calls a separate
     transposed-weight Triton kernel for this).
-    emit_quantized (symmetric int8/fp8, "nt" only): also return the
-    in-kernel rowwise-quantized x as ``(y, x_q (M, K), x_scale (M, 1))`` —
-    the save-quantized-activations training residual produced by the
-    forward kernel itself (one extra int8 store, no separate quantize
-    pass; the backward folds the row scales into the cotangent's
-    columnwise quantize — see train/matmul._train_linear_bwd).
+    emit_quantized ("nt" only): also return the in-kernel rowwise-quantized
+    x as ``(y, x_q (M, K), x_scale (M, 1))`` — the
+    save-quantized-activations training residual produced by the forward
+    kernel itself (one extra int8 store, no separate quantize pass; the
+    backward folds the row scales into the cotangent's columnwise quantize
+    — see train/matmul._train_linear_bwd).  With x_fmt="uint8" the
+    prologue's codes are SIGNED with a per-row affine (x = x_q*s + zp), so
+    the return grows a zp row: ``(y, x_q, x_scale, x_zp (M, 1))`` and the
+    grad-weight picks up one rank-1 term (gᵀ·zp) ⊗ 1_K.
     Falls back to quantize-then-scaled_mm off-TPU or for shapes the fused
     kernel does not support.
     """
@@ -739,7 +749,7 @@ def scaled_mm_fused_act(x, w_q,
     asym = x_fmt == "uint8"
     b_dim0 = b_layout == "nn"
     if emit_quantized:
-        assert not asym and not b_dim0
+        assert not b_dim0
     pad = (-kdim) % 128
     eligible = (use_pallas() and m >= 16 and kdim >= 256
                 and kdim + pad <= 16384
@@ -759,6 +769,9 @@ def scaled_mm_fused_act(x, w_q,
             x_colscale,
             x_fmt=x_fmt, out_dtype=jnp.dtype(out_dtype), bm=bm, bn=bn,
             b_dim0=b_dim0, emit_q=emit_quantized)
+        if emit_quantized and asym:
+            y, xq, xs, xzp = out
+            return y, xq, xs, xzp  # asym is never padded (gate above)
         if emit_quantized:
             y, xq, xs = out
             return y, (xq[:, :kdim] if pad else xq), xs
@@ -798,6 +811,10 @@ def scaled_mm_fused_act(x, w_q,
         return out.astype(out_dtype)
     out = scaled_mm(x_q, w_q, x_scale, w_scale, bias, out_dtype=out_dtype,
                     lowrank_u=u, lowrank_v=v)
+    if emit_quantized and asym:
+        # quantize_uint_mm already uses the signed-code + per-row affine
+        # convention (x = x_q*s + zp) — same residual as the fused kernel
+        return out, x_q, x_scale.reshape(-1, 1), x_zp.reshape(-1, 1)
     if emit_quantized:
         return out, x_q, x_scale.reshape(-1, 1)
     return out

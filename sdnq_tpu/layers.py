@@ -209,7 +209,6 @@ def _quantized_matmul_2d(x2d, qt: QTensor, bias, out_dtype,
             #      + x_zp (x) [colsum(w_q)*w_s + K*w_zp]
             # The x-side factors are built inside the fused kernel's
             # quantize prologue; only the weight-side rows are precomputed.
-            assert not emit_quantized  # asym path: zp rows not emitted
             w_colsum = jnp.sum(w_q.astype(jnp.int32), axis=-1)[None, :] \
                 .astype(jnp.float32)
             wz = (jnp.zeros((1, w_q.shape[0]), jnp.float32)
@@ -218,7 +217,8 @@ def _quantized_matmul_2d(x2d, qt: QTensor, bias, out_dtype,
                 x2d, w_q, w_scale, bias, x_fmt="uint8",
                 out_dtype=out_dtype, lowrank_u=u, lowrank_v=v,
                 v_zp0=wz,
-                v_zp1=w_colsum * w_scale.reshape(1, -1) + float(kdim) * wz)
+                v_zp1=w_colsum * w_scale.reshape(1, -1) + float(kdim) * wz,
+                emit_quantized=emit_quantized)
         return scaled_mm_fused_act(x2d, w_q, w_scale, bias, x_fmt="int8",
                                    out_dtype=out_dtype, lowrank_u=u,
                                    lowrank_v=v,

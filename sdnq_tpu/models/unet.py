@@ -321,7 +321,8 @@ def unet_forward(params: Params, x: jax.Array, timesteps: jax.Array,
 
 
 def make_staged_unet_forward(cfg: UNetConfig,
-                             attn_config: dict | None = None):
+                             attn_config: dict | None = None,
+                             sync: bool = False):
     """UNet forward as separately-jitted stages (embed, one per down
     level, mid, one per up level, head) instead of one whole-model jit.
 
@@ -329,9 +330,19 @@ def make_staged_unet_forward(cfg: UNetConfig,
     tunneled TPU setups (same constraint as models/dit.py
     make_staged_dit_forward); per-level programs compile independently at
     the cost of ~9 dispatches per step.  Skip activations cross stage
-    boundaries as an explicit tuple."""
+    boundaries as an explicit tuple.
+
+    sync=True blocks + logs after every stage — the async-dispatch
+    debugging aid for attributing device faults to the right stage."""
     groups = cfg.norm_groups
     acfg = attn_config
+
+    def _sync(v, name):
+        if sync:
+            jax.block_until_ready(v)
+            from ..utils import log
+            log.info("staged-unet stage ok: %s", name)
+        return v
 
     @jax.jit
     def embed(p, x, timesteps, added_cond):
@@ -409,15 +420,19 @@ def make_staged_unet_forward(cfg: UNetConfig,
         if "add_embedding" in params:
             p_embed["add_embedding"] = params["add_embedding"]
         h, temb = embed(p_embed, x, timesteps, added_cond)
+        _sync(h, "embed")
         skips = [h]
-        for blk in params["down_blocks"]:
+        for i, blk in enumerate(params["down_blocks"]):
             h, new = down_level(blk, h, temb, ctx)
+            _sync(h, f"down{i}")
             skips.extend(new)
         h = mid(params["mid_block"], h, temb, ctx)
-        for blk in params["up_blocks"]:
+        _sync(h, "mid")
+        for i, blk in enumerate(params["up_blocks"]):
             n = len(blk["resnets"])
             lvl_skips, skips = tuple(skips[-n:]), skips[:-n]
             h = up_level(blk, h, temb, ctx, lvl_skips)
+            _sync(h, f"up{i}")
         p_head = {"conv_norm_out": params["conv_norm_out"],
                   "conv_out": params["conv_out"]}
         return head(p_head, h)

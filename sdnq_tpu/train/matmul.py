@@ -236,18 +236,20 @@ def _fwd_value(x2d, qt, bias, use_quantized_matmul, emit_quantized=False):
 
 
 def _fused_emit_eligible(qt, m_rows, use_quantized_matmul) -> bool:
-    """True when the forward takes the fused symmetric int8/fp8 static
-    matmul path, whose kernel can emit its rowwise-quantized input as the
-    ckpt residual (scaled_mm_fused_act emit_quantized) — trace-time
-    decidable, so forward and backward agree by construction."""
+    """True when the forward takes the fused static matmul path, whose
+    kernel can emit its rowwise-quantized input as the ckpt residual
+    (scaled_mm_fused_act emit_quantized) — trace-time decidable, so
+    forward and backward agree by construction.  Covers symmetric
+    int8/fp8 (residual = (x_q, s)) and the asymmetric uint8 family
+    (residual = (x_q, s, zp): signed codes + per-row affine; the
+    grad-weight adds one rank-1 (gᵀ·zp) ⊗ 1_K term)."""
     meta = qt.meta
     if not (use_quantized_matmul and meta.use_quantized_matmul
             and m_rows >= 32 and not meta.re_quantize_for_matmul):
         return False
     mfmt = meta.matmul_format
     if mfmt.is_integer:
-        return (not mfmt.is_unsigned and qt.zero_point is None
-                and qt.qdata.dtype == jnp.int8)
+        return qt.qdata.dtype in (jnp.int8, jnp.uint8)
     return mfmt.num_bits == 8
 
 
@@ -262,10 +264,11 @@ def _train_linear_fwd(x2d, delta, qt, bias, save_q_acts,
         # the forward kernel emits its own rowwise-quantized input (one
         # extra int8 store; zero extra quantize passes).  The backward
         # folds the row scales into the cotangent before its columnwise
-        # quantize: gw[n,k] = sum_m g[m,n]*s_x[m] * xq[m,k].
-        y, xq, xs = _fwd_value(x2d, qt, bias, use_quantized_matmul,
-                               emit_quantized=True)
-        return y, ((xq, xs), qt, b_marker, dtype_token)
+        # quantize: gw[n,k] = sum_m g[m,n]*s_x[m] * xq[m,k].  The asym
+        # (uint8) family emits a third zp row (x = xq*s + zp).
+        y, *res = _fwd_value(x2d, qt, bias, use_quantized_matmul,
+                             emit_quantized=True)
+        return y, (tuple(res), qt, b_marker, dtype_token)
     y = _fwd_value(x2d, qt, bias, use_quantized_matmul)
     if save_q_acts:
         # pre-quantize along the grad-weight contraction — columnwise (per
@@ -359,14 +362,27 @@ def _train_linear_bwd(save_q_acts, use_quantized_matmul, res, g):
         #   gw[n,k] = Σ_m (g[m,n]·s_x[m]) · xq[m,k]
         from ..kernels.scaled_mm import scaled_mm_tn
         from ..quant.hadamard import rotate_hadamard
-        xq, xs = saved
+        xzp = None
+        if len(saved) == 3:
+            xq, xs, xzp = saved       # asym: x = xq*s + zp (signed codes)
+        else:
+            xq, xs = saved
         gf = g2d * xs.astype(jnp.float32)
         if f.is_integer:
             gq, gs = quantize_int_mm(gf, axis=0)
         else:
             gq, gs = quantize_fp_mm(gf, axis=0, fmt=f)
+        u = v = None
+        if xzp is not None:
+            # gw += (Σ_m g[m,n]·zp[m]) ⊗ 1_K — one skinny (N,1) GEMM as a
+            # rank-1 epilogue of the TN kernel, no (M,K) dequant
+            u = jax.lax.dot_general(
+                g2d.astype(jnp.float32), xzp.astype(jnp.float32),
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)        # (N, 1)
+            v = jnp.ones((1, xq.shape[1]), jnp.float32)
         gw = scaled_mm_tn(gq, xq, gs.reshape(-1), None,
-                          out_dtype=jnp.float32)
+                          out_dtype=jnp.float32, lowrank_u=u, lowrank_v=v)
         if meta.use_hadamard:
             # xq lives in rotated input space; rotate the grad back
             # (normalized Hadamard is symmetric and its own inverse)

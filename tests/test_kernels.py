@@ -343,12 +343,12 @@ def test_scaled_mm_fused_act_nn(request, backend_fixture):
                                rtol=1e-5, atol=1e-4)
 
 
-@pytest.mark.parametrize("x_fmt", ["int8", "float8_e4m3fn"])
+@pytest.mark.parametrize("x_fmt", ["int8", "float8_e4m3fn", "uint8"])
 @pytest.mark.parametrize("backend_fixture", ["xla", "interpret"])
 def test_scaled_mm_fused_act_emit_quantized(request, backend_fixture, x_fmt):
     """emit_quantized returns the kernel's rowwise-quantized input: y must
-    equal the plain call, and dequant(xq)*xs must reconstruct x to the
-    format's rounding error."""
+    equal the plain call, and dequant(xq)*xs (+zp for the asym family) must
+    reconstruct x to the format's rounding error."""
     request.getfixturevalue(backend_fixture)
     from sdnq_tpu.kernels.scaled_mm import scaled_mm_fused_act
     rng = np.random.default_rng(17)
@@ -358,24 +358,41 @@ def test_scaled_mm_fused_act_emit_quantized(request, backend_fixture, x_fmt):
     ws = rng.uniform(0.01, 0.02, (o,)).astype(np.float32)
     wq = jnp.asarray(w, jnp.float8_e4m3fn if x_fmt.startswith("float8")
                      else jnp.int8)
+    kw = {}
+    if x_fmt == "uint8":
+        wz = rng.uniform(-0.3, 0.3, (o,)).astype(np.float32)
+        colsum = w.astype(np.int64).sum(axis=1).astype(np.float32)
+        kw = dict(v_zp0=jnp.asarray(wz),
+                  v_zp1=jnp.asarray(colsum * ws + float(k) * wz))
     y0 = scaled_mm_fused_act(jnp.asarray(x), wq, jnp.asarray(ws), None,
-                             x_fmt=x_fmt, out_dtype=jnp.float32)
-    y1, xq, xs = scaled_mm_fused_act(jnp.asarray(x), wq, jnp.asarray(ws),
-                                     None, x_fmt=x_fmt,
-                                     out_dtype=jnp.float32,
-                                     emit_quantized=True)
+                             x_fmt=x_fmt, out_dtype=jnp.float32, **kw)
+    out = scaled_mm_fused_act(jnp.asarray(x), wq, jnp.asarray(ws),
+                              None, x_fmt=x_fmt,
+                              out_dtype=jnp.float32,
+                              emit_quantized=True, **kw)
+    if x_fmt == "uint8":
+        y1, xq, xs, xzp = out
+        assert xzp.shape == (m, 1)
+        recon = (np.asarray(xq.astype(jnp.float32)) * np.asarray(xs)
+                 + np.asarray(xzp))
+    else:
+        y1, xq, xs = out
+        recon = np.asarray(xq.astype(jnp.float32)) * np.asarray(xs)
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
                                rtol=1e-5, atol=1e-4)
     assert xq.shape == (m, k) and xs.shape == (m, 1)
-    recon = np.asarray(xq.astype(jnp.float32)) * np.asarray(xs)
     tol = 0.08 if x_fmt.startswith("float8") else 0.02
     assert np.abs(recon - x).max() <= tol * np.abs(x).max()
 
 
-@pytest.mark.parametrize("use_hadamard", [False, True])
-def test_train_ckpt_emit_grad_parity(interpret, use_hadamard):
+@pytest.mark.parametrize("fmt,use_hadamard", [("int8", False),
+                                              ("int8", True),
+                                              ("uint8", False),
+                                              ("uint8", True)])
+def test_train_ckpt_emit_grad_parity(interpret, fmt, use_hadamard):
     """The fused-emit ckpt backward (fold row scales into the cotangent's
-    columnwise quantize) matches dense grads to int8 noise."""
+    columnwise quantize; asym family adds the (gᵀ·zp) ⊗ 1 rank-1 term)
+    matches dense grads to int8 noise."""
     import jax
     from sdnq_tpu import quantize_tensor
     from sdnq_tpu.tensor import dequantize
@@ -385,7 +402,7 @@ def test_train_ckpt_emit_grad_parity(interpret, use_hadamard):
     m, k, o = 64, 256, 128
     x = jnp.asarray(rng.normal(size=(m, k)).astype(np.float32))
     w = jnp.asarray(rng.normal(size=(o, k)).astype(np.float32))
-    qt = quantize_tensor(w, "int8", use_quantized_matmul=True,
+    qt = quantize_tensor(w, fmt, use_quantized_matmul=True,
                          group_size=-1, use_hadamard=use_hadamard)
     assert _fused_emit_eligible(qt, m, True)
     tp = TrainQTensor(qt=qt, delta=jnp.zeros(w.shape, jnp.float32))
