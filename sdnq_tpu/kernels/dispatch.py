@@ -59,9 +59,10 @@ def route_fp8_to_int8() -> bool:
     native fp8 dots (future hardware), =0 forces routing everywhere.
     """
     global _fp8_route_logged
-    ov = os.environ.get("SDNQ_TPU_FP8_MXU")
+    from ..envconfig import env_bool
+    ov = env_bool("SDNQ_TPU_FP8_MXU")
     if ov is not None:
-        return ov in ("0", "false", "")
+        return not ov
     try:
         platform = jax.default_backend()
     except Exception:  # pragma: no cover

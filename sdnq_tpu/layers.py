@@ -114,9 +114,11 @@ def _quantized_matmul_2d(x2d, qt: QTensor, bias, out_dtype,
     epilogue terms of the fused kernel (scaled_mm lowrank_u/v) — one kernel
     launch, no (M, O) bias materialization.
 
-    emit_quantized (symmetric int8 / fp8 matmul formats only): return
-    ``(y, x_q, x_scale)`` with the kernel's rowwise-quantized input — the
-    activation residual for ckpt training.  NOTE: with use_hadamard the
+    emit_quantized: return the kernel's rowwise-quantized input as the
+    activation residual for ckpt training — ``(y, x_q, x_scale)`` for the
+    symmetric int8 / fp8 families, ``(y, x_q, x_scale, x_zp)`` for the
+    asymmetric uint8 family (signed codes + per-row affine
+    ``x = x_q*scale + zp``).  NOTE: with use_hadamard the
     emitted x_q is the *rotated* input; the grad-weight built from it lives
     in rotated space and must be rotated back (train/matmul does this)."""
     meta = qt.meta

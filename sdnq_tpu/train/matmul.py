@@ -249,7 +249,10 @@ def _fused_emit_eligible(qt, m_rows, use_quantized_matmul) -> bool:
         return False
     mfmt = meta.matmul_format
     if mfmt.is_integer:
-        return qt.qdata.dtype in (jnp.int8, jnp.uint8)
+        # packed sub-byte storage rides a uint8 *container*, not a uint8
+        # matmul operand — it must never claim the fused static path
+        return (not meta.is_packed
+                and qt.qdata.dtype in (jnp.int8, jnp.uint8))
     return mfmt.num_bits == 8
 
 
@@ -314,7 +317,7 @@ def _train_linear_bwd(save_q_acts, use_quantized_matmul, res, g):
     if q2d.ndim > 2:
         q2d = q2d.reshape(q2d.shape[0], -1)
     fast = (meta.use_quantized_matmul and not meta.re_quantize_for_matmul
-            and mfmt.is_integer
+            and mfmt.is_integer and not meta.is_packed
             and q2d.dtype in (jnp.int8, jnp.uint8)
             and qt.scale.size == q2d.shape[0])
     if fast:
