@@ -48,7 +48,21 @@ def main():
     from sdnq_tpu.models import SDXL_CONFIG, init_unet, make_staged_unet_forward
 
     cfg = SDXL_CONFIG
-    if os.path.exists(args.cache):
+    if args.cache == "none":
+        mark("initializing SDXL params (bf16), no cache")
+        params = init_unet(jax.random.key(0), cfg, dtype=jnp.bfloat16)
+        jax.block_until_ready(jax.tree_util.tree_leaves(params)[0])
+        mark("quantizing")
+        qp, _ = quantize_model(
+            params,
+            QuantConfig(weights_dtype=args.fmt, use_quantized_matmul=True),
+            arch="StableDiffusionXLPipeline")
+        keep = {id(leaf) for leaf in jax.tree_util.tree_leaves(qp)}
+        for leaf in jax.tree_util.tree_leaves(params):
+            if hasattr(leaf, "delete") and id(leaf) not in keep:
+                leaf.delete()
+        mark("quantized")
+    elif os.path.exists(args.cache):
         mark(f"loading cached quantized tree from {args.cache}")
         qp, _ = load_quantized(args.cache)
         mark("loaded")
