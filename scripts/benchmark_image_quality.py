@@ -45,6 +45,11 @@ CONFIGS = [
                          use_hadamard=True, use_svd=True), 4),
     ("int4_h_svd", dict(weights_dtype="int4", group_size=64,
                         use_hadamard=True, use_svd=True), 4),
+    # dynamic ladder: each layer walks up from int4 until its per-layer
+    # nmse clears 10^(-bits/2) for the CHOSEN dtype (quantizer.py:264-398)
+    ("dynamic_from_int4", dict(weights_dtype="int4", group_size=64,
+                               use_dynamic_quantization=True,
+                               use_quantized_matmul=True), None),
 ]
 
 
@@ -95,15 +100,23 @@ def main():
     for label, kw, bits in CONFIGS:
         qp, _ = quantize_model(up, QuantConfig(**kw),
                                arch="StableDiffusionPipeline")
-        worst = 0.0
+        # per-leaf acceptance: nmse <= 10^(-bits/2) for that LEAF's chosen
+        # format (uniform configs all share `bits`; the dynamic ladder
+        # picks per-layer dtypes, so the threshold follows the choice)
+        worst, thr = 0.0, 1.0
+        worst_ratio = 0.0
         flat_o = {jax.tree_util.keystr(p): l for p, l in
                   jax.tree_util.tree_flatten_with_path(up)[0]}
         for p, leaf in jax.tree_util.tree_flatten_with_path(
                 qp, is_leaf=lambda l: isinstance(l, QTensor))[0]:
             if isinstance(leaf, QTensor):
                 wd = dequantize(leaf, jnp.float32)
-                worst = max(worst, float(normalized_mse(
-                    wd, flat_o[jax.tree_util.keystr(p)])))
+                nm = float(normalized_mse(
+                    wd, flat_o[jax.tree_util.keystr(p)]))
+                b = bits if bits is not None else leaf.meta.format.num_bits
+                thr_l = 10.0 ** (-b / 2)
+                if nm / thr_l > worst_ratio:
+                    worst_ratio, worst, thr = nm / thr_l, nm, thr_l
         eps_q = unet_forward(qp, x, t, emb, ucfg)
         lat = float(normalized_mse(eps_q, eps_r))
         img_q = np.asarray(gen(qp).astype(jnp.float32))
@@ -111,8 +124,7 @@ def main():
                                       jnp.asarray(img_ref)))
         m_psnr = float(psnr(jnp.asarray(img_q), jnp.asarray(img_ref)))
         m_ssim = float(ssim(jnp.asarray(img_q), jnp.asarray(img_ref)))
-        thr = 10.0 ** (-bits / 2)
-        flag = "" if worst <= thr else "  <-- over threshold"
+        flag = "" if worst_ratio <= 1.0 else "  <-- over threshold"
         print(f"{label:>22} {worst:17.3e} {thr:9.0e} {lat:12.3e} "
               f"{m_nmse:10.3e} {m_psnr:8.2f} {m_ssim:7.4f}{flag}",
               flush=True)

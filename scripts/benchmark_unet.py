@@ -54,8 +54,13 @@ def main():
     cfg = SDXL_CONFIG if args.model == "sdxl" else SD15_CONFIG
     arch = ("StableDiffusionXLPipeline" if args.model == "sdxl"
             else "StableDiffusionPipeline")
-    params = init_unet(jax.random.key(0), cfg, dtype=jnp.bfloat16)
-    jax.block_until_ready(jax.tree_util.tree_leaves(params)[0])
+    # init on the host CPU backend (90s vs 12min of tunneled TPU
+    # dispatches at SDXL scale), ship in one transfer
+    with jax.default_device(jax.devices("cpu")[0]):
+        params = init_unet(jax.random.key(0), cfg, dtype=jnp.bfloat16)
+        jax.block_until_ready(jax.tree_util.tree_leaves(params)[:1])
+    params = jax.device_put(params, jax.devices()[0])
+    jax.block_until_ready(jax.tree_util.tree_leaves(params)[-1])
     _mark("params initialized")
 
     rng = np.random.default_rng(0)

@@ -49,9 +49,15 @@ def main():
 
     cfg = SDXL_CONFIG
     if args.cache == "none":
-        mark("initializing SDXL params (bf16), no cache")
-        params = init_unet(jax.random.key(0), cfg, dtype=jnp.bfloat16)
-        jax.block_until_ready(jax.tree_util.tree_leaves(params)[0])
+        # init on the host CPU backend (90s vs 12min of tunneled TPU
+        # dispatches), ship in one transfer
+        mark("initializing SDXL params (bf16) on cpu, no cache")
+        with jax.default_device(jax.devices("cpu")[0]):
+            params = init_unet(jax.random.key(0), cfg, dtype=jnp.bfloat16)
+            jax.block_until_ready(jax.tree_util.tree_leaves(params)[:1])
+        mark("transferring to device")
+        params = jax.device_put(params, jax.devices()[0])
+        jax.block_until_ready(jax.tree_util.tree_leaves(params)[-1])
         mark("quantizing")
         qp, _ = quantize_model(
             params,

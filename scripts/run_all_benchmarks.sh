@@ -58,6 +58,11 @@ F=$OUT/tpu_v5e_attention.txt
 stamp $F "SDNQ-TPU attention benchmark (B=4 H=16 N=4096 D=128)"
 run $F python scripts/benchmark_attention.py --steps $STEPS
 
+# 4b. attention crossover sweep + int8-KV decode (feeds the auto policy)
+F=$OUT/tpu_v5e_attention_sweep.txt
+stamp $F "SDNQ-TPU attention crossover sweep (n x d grid + LLM decode KV)"
+run $F python scripts/benchmark_attention_sweep.py --steps $MSTEPS
+
 # 5. Flux-width staged model step
 F=$OUT/tpu_v5e_model.txt
 stamp $F "SDNQ-TPU Flux-width staged model benchmark (hidden=1536 6+12 blocks, 4608 tok)"
@@ -72,6 +77,18 @@ run $F python scripts/benchmark_unet.py --model sdxl --latent 128 --staged \
     --steps $MSTEPS --only bf16
 run $F python scripts/benchmark_unet.py --model sdxl --latent 128 --staged \
     --steps $MSTEPS --only quant
+
+# 6b. per-component Flux block step budget (VERDICT r4 #2c)
+F=$OUT/tpu_v5e_profile_block.txt
+stamp $F "SDNQ-TPU Flux-width double-block component budget"
+run $F python scripts/profile_block.py
+run $F python scripts/profile_block.py --quant
+
+# 6c. image-quality table (accuracy artifact; CPU-computable but recorded
+# with the rest for one coherent snapshot)
+F=$OUT/image_quality.txt
+stamp $F "SDNQ-TPU image-quality table (bf16 vs quantized pipelines)"
+run $F python scripts/benchmark_image_quality.py
 
 # 7. full dtype sweep (slow)
 if [ "$QUICK" != "--quick" ]; then

@@ -37,7 +37,8 @@ from ..quant.hadamard import (
     get_hadamard_group_size, next_power_of_2, rotate_hadamard,
 )
 
-__all__ = ["quantized_attention", "flash_attention_block", "quantize_kv"]
+__all__ = ["quantized_attention", "flash_attention_block", "quantize_kv",
+           "attn_auto_matmul_dtype"]
 
 
 def quantize_kv(k: "jax.Array", v: "jax.Array | None" = None):
@@ -68,15 +69,8 @@ def _attn_kernel(q_ref, k_ref, v_ref, qs_ref, ks_ref, vs_ref, mask_ref,
                  n_k: int, d: int, causal: bool, has_mask: bool,
                  mask_is_bool: bool, quantized: bool, quantized_pv: bool,
                  sm_scale: float, kn_valid: int, partial_out: bool = False,
-                 use_exp2: bool = False, pv_const: bool = False,
-                 nhd: bool = False):
-    # nhd: the grid is (B, H, N/BM) over (B, N, H*D) arrays — the layout
-    # the model's qkv projection produces; the head is selected by the
-    # BlockSpec column-block index, so no head transpose ever
-    # materializes in HBM (those (0,2,1,3) transposes cost ~0.5 ms per
-    # Flux block at 4608 tokens).  Ref shapes are identical to the bhnd
-    # path; only the row-block program_id position differs.
-    i = pl.program_id(2 if nhd else 1)
+                 use_exp2: bool = False, pv_const: bool = False):
+    i = pl.program_id(1)
     row0 = i * bm
 
     q = q_ref[0]                                   # (BM, D)
@@ -256,89 +250,6 @@ def _attn_pallas(q, k, v, q_scale, k_scale, v_scale, mask, *, causal,
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=q.size + k.size + v.size,
             transcendentals=n * kn * bh),
-        interpret=pallas_interpret(),
-    )(q, k, v, qs_in, ks_in, vs_in, mask_in)
-
-
-@functools.partial(jax.jit, static_argnames=(
-    "causal", "quantized", "quantized_pv", "sm_scale", "q_per_kv", "heads",
-    "mask_is_bool", "out_dtype", "bm", "bk", "kn_valid", "pv_const"))
-def _attn_pallas_nhd(q, k, v, q_scale, k_scale, v_scale, mask, *, causal,
-                     quantized, quantized_pv, sm_scale, q_per_kv, heads,
-                     mask_is_bool, out_dtype, bm, bk, kn_valid,
-                     pv_const=False):
-    """(B, N, H·D)-layout twin of _attn_pallas: q/k/v stay in the flat
-    layout the fused qkv projection produces; the grid walks (b, h, i) and
-    each head's (bm, d) slab is selected by the BlockSpec COLUMN-block
-    index — no (0,2,1,3) head transpose in HBM.  Ref shapes inside the
-    kernel are identical to the bhnd path.
-
-    q: (B, N, H*D); k/v: (B, KN, KH*D); q_scale: (B*H, N, 1);
-    k/v_scale: (B*KH, 1, KN); mask: (mask_bh, N, KN)."""
-    h = heads
-    b, n, hd = q.shape
-    d = hd // h
-    _, kn, khd = k.shape
-    kh = khd // d
-    n_k = kn // bk
-    has_mask = mask is not None
-
-    log2e = math.log2(math.e)
-    prefolded = sm_scale == 0.0
-    qs_in = (q_scale * log2e if quantized
-             else jnp.zeros((b * h, n, 1), jnp.float32))
-    ks_in = (k_scale if quantized
-             else jnp.zeros((b * kh, 1, kn), jnp.float32))
-    vs_in = (v_scale if quantized_pv and v_scale is not None
-             else jnp.zeros((b * kh, 1, kn), jnp.float32))
-    mask_in = mask if has_mask else jnp.zeros((1, 1, 8), jnp.int8)
-    mask_bh = mask_in.shape[0]
-
-    kernel = functools.partial(
-        _attn_kernel, bm=bm, bk=bk, n_k=n_k, d=d, causal=causal,
-        has_mask=has_mask, mask_is_bool=mask_is_bool, quantized=quantized,
-        quantized_pv=quantized_pv,
-        sm_scale=1.0 if prefolded else sm_scale * log2e,
-        kn_valid=kn_valid, use_exp2=True, pv_const=pv_const, nhd=True)
-
-    flops = 4 * n * kn * d * b * h
-    return pl.pallas_call(
-        kernel,
-        grid=(b, h, pl.cdiv(n, bm)),
-        in_specs=[
-            pl.BlockSpec((1, bm, d), lambda b_, h_, i: (b_, i, h_),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kn, d),
-                         lambda b_, h_, i: (b_, 0, h_ // q_per_kv),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kn, d),
-                         lambda b_, h_, i: (b_, 0, h_ // q_per_kv),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bm, 1),
-                         lambda b_, h_, i, h=h: (b_ * h + h_, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, kn),
-                         lambda b_, h_, i, kh=kh:
-                         (b_ * kh + h_ // q_per_kv, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, kn),
-                         lambda b_, h_, i, kh=kh:
-                         (b_ * kh + h_ // q_per_kv, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (1, bm, mask_in.shape[-1]),
-                (lambda b_, h_, i, h=h: ((b_ * h + h_) % mask_bh, i, 0))
-                if has_mask else (lambda b_, h_, i: (0, 0, 0)),
-                memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, bm, d), lambda b_, h_, i: (b_, i, h_),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, n, hd), out_dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel")),
-        cost_estimate=pl.CostEstimate(
-            flops=flops, bytes_accessed=q.size + k.size + v.size,
-            transcendentals=n * kn * b * h),
         interpret=pallas_interpret(),
     )(q, k, v, qs_in, ks_in, vs_in, mask_in)
 
@@ -524,6 +435,27 @@ def _pad_last(x, to):
     return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, to - d)])
 
 
+def attn_auto_matmul_dtype(n: int, kn: int, d: int) -> str | None:
+    """Measured QK-dtype crossover policy for ``matmul_dtype="auto"``.
+
+    The int8 MXU runs at 2x the bf16 rate only when the contraction is
+    wide enough; a d=128 QK dot leaves it at the bf16 rate, so int8 QK
+    pays its quantize pass for nothing at short n (measured 95.1 vs
+    100.9 TF at n=4096 d=128 — the round-3 finding that the reference
+    kernel's regime, triton_atten.py:37-192, needs mapping).  Crossovers
+    from benchmarks/tpu_v5e_attention_sweep.txt (v5e):
+
+      * d <= 64: int8 QK wins from n >= 4096 (the n^2 QK term dominates
+        and the narrow-d dots are quantize-bound below that);
+      * d >= 128: bf16 flash wins at every swept n (to 64K) — the int8
+        rate advantage never materializes at this contraction width.
+
+    Returns "int8" or None (= bf16 flash)."""
+    if d <= 64 and min(n, kn) >= 4096:
+        return "int8"
+    return None
+
+
 def quantized_attention(
     query: jax.Array,
     key: jax.Array,
@@ -540,18 +472,15 @@ def quantized_attention(
     pv_scale_mode: str = "head",
     out_dtype=None,
     kv_scales: tuple | None = None,
-    layout: str = "bhnd",
 ) -> jax.Array:
     """Drop-in quantized scaled-dot-product attention.
 
     query/key/value: (B, H, N, D) — torch SDPA layout (reference parity).
-    ``layout="bnhd"`` instead takes (B, N, H, D) — the layout a fused qkv
-    projection naturally produces — and returns (B, N, H, D); the Pallas
-    kernel slices per-head blocks via 4D BlockSpecs so no head transpose
-    is ever materialized (saves ~4 full HBM passes per attention at DiT
-    scale).
-    ``matmul_dtype`` in {"int8", None/"none"/"disabled"}; ``pv_matmul_dtype``
-    optionally "int8" to run P·V quantized too.
+    ``matmul_dtype`` in {"int8", "auto", None/"none"/"disabled"};
+    ``pv_matmul_dtype`` optionally "int8" to run P·V quantized too.
+    "auto" applies the measured crossover policy
+    (:func:`attn_auto_matmul_dtype`): bf16 flash below the regime where
+    int8 QK wins, int8 above it.
 
     ``pv_scale_mode`` ("head" | "token") picks the int8 P·V flavor: "head"
     quantizes V with one scale per (batch, kv-head) so the kernel can use a
@@ -567,14 +496,6 @@ def quantized_attention(
     skipped for pre-quantized KV (they would have to be baked in at cache
     insert time).
     """
-    if layout == "bnhd":
-        return _quantized_attention_nhd(
-            query, key, value, attn_mask, is_causal, scale,
-            smooth_k=smooth_k, use_hadamard=use_hadamard,
-            hadamard_group_size=hadamard_group_size,
-            matmul_dtype=matmul_dtype, pv_matmul_dtype=pv_matmul_dtype,
-            pv_scale_mode=pv_scale_mode, out_dtype=out_dtype,
-            kv_scales=kv_scales)
     b, h, n, d = query.shape
     _, kh, kn, _ = key.shape
     vd = value.shape[-1]
@@ -586,7 +507,9 @@ def quantized_attention(
     if matmul_dtype == "default":
         from ..envconfig import env_str
         matmul_dtype = env_str("SDNQ_TPU_ATTN_MATMUL_DTYPE", "int8")
-    if matmul_dtype in ("auto", "enabled", "uint8"):
+    if matmul_dtype == "auto":
+        matmul_dtype = attn_auto_matmul_dtype(n, kn, d)
+    if matmul_dtype in ("enabled", "uint8"):
         matmul_dtype = "int8"  # reference: triton_atten.py:204-207
     if kv_prequant:
         matmul_dtype = "int8"
@@ -730,120 +653,3 @@ def quantized_attention(
     return out.reshape(b, h, n, vd)
 
 
-def _quantized_attention_nhd(
-    query, key, value, attn_mask=None, is_causal=False, scale=None, *,
-    smooth_k=False, use_hadamard=False, hadamard_group_size=256,
-    matmul_dtype="default", pv_matmul_dtype=None, pv_scale_mode="head",
-    out_dtype=None, kv_scales=None):
-    """(B, N, H, D)-layout attention body (see quantized_attention
-    layout="bnhd").  Falls back to the bhnd path via transposes when the
-    kernel is ineligible (CPU tests, odd shapes, prequantized KV)."""
-    b, n, h, d = query.shape
-    _, kn, kh, _ = key.shape
-    vd = value.shape[-1]
-    if out_dtype is None:
-        out_dtype = query.dtype
-    if scale is None:
-        scale = d ** -0.5
-    if matmul_dtype == "default":
-        from ..envconfig import env_str
-        matmul_dtype = env_str("SDNQ_TPU_ATTN_MATMUL_DTYPE", "int8")
-    if matmul_dtype in ("auto", "enabled", "uint8"):
-        matmul_dtype = "int8"
-
-    use_kernel = (use_pallas() and n % 8 == 0 and d % 128 == 0
-                  and d <= 256 and vd == d and kn % 128 == 0
-                  and kv_scales is None
-                  and matmul_dtype not in ("fp8", "float8_e4m3fn"))
-    if not use_kernel:
-        out = quantized_attention(
-            query.transpose(0, 2, 1, 3), key.transpose(0, 2, 1, 3),
-            value.transpose(0, 2, 1, 3), attn_mask, is_causal, scale,
-            smooth_k=smooth_k, use_hadamard=use_hadamard,
-            hadamard_group_size=hadamard_group_size,
-            matmul_dtype=matmul_dtype, pv_matmul_dtype=pv_matmul_dtype,
-            pv_scale_mode=pv_scale_mode, out_dtype=out_dtype,
-            kv_scales=kv_scales, layout="bhnd")
-        return out.transpose(0, 2, 1, 3)
-
-    do_quant = matmul_dtype not in (None, "none", "no", "disabled")
-    do_quant_pv = pv_matmul_dtype not in (None, "auto", "none", "no",
-                                          "disabled")
-    q_per_kv = h // kh
-    log2e = math.log2(math.e)
-
-    qf = query.astype(jnp.float32)
-    kf = key.astype(jnp.float32)
-    vf = value.astype(jnp.float32)
-    if smooth_k:
-        kf = kf - kf.mean(axis=1, keepdims=True)   # tokens are axis 1
-    if use_hadamard and do_quant:
-        hsize = next_power_of_2(min(d, hadamard_group_size))
-        use_h, hsize = get_hadamard_group_size(next_power_of_2(d), hsize)
-        if use_h and d % hsize == 0:
-            qf = rotate_hadamard(qf, hsize)
-            kf = rotate_hadamard(kf, hsize)
-
-    mask = None
-    mask_is_bool = False
-    if attn_mask is not None:
-        mask_is_bool = attn_mask.dtype == jnp.bool_
-        mask = jnp.broadcast_to(attn_mask, (b, h, n, kn)) \
-            .reshape(b * h, n, kn)
-        if mask_is_bool:
-            mask = mask.astype(jnp.int8)
-
-    if do_quant:
-        q_q, q_s = quantize_int_mm(qf, axis=-1)     # scales (B, N, H, 1)
-        k_q, k_s = quantize_int_mm(kf, axis=-1)
-        q_scale = (q_s[..., 0] * scale).transpose(0, 2, 1) \
-            .reshape(b * h, n, 1)                   # (B*H, N, 1)
-        k_scale = k_s[..., 0].transpose(0, 2, 1) \
-            .reshape(b * kh, 1, kn)                 # (B*KH, 1, KN)
-        sm_for_kernel = float(scale)
-    else:
-        q_q = (qf * (scale * log2e)).astype(jnp.bfloat16)
-        k_q = kf.astype(jnp.bfloat16)
-        q_scale = k_scale = None
-        sm_for_kernel = 0.0
-
-    pv_const = False
-    vs_head = None
-    v_scale = None
-    if do_quant_pv and pv_scale_mode == "head":
-        pv_const = True
-        vs_head = jnp.maximum(jnp.abs(vf).max(axis=(1, 3), keepdims=True),
-                              1e-20) / 127.0       # (B, 1, KH, 1)
-        v_q = jnp.round(vf / vs_head).astype(jnp.int8)
-    elif do_quant_pv:
-        v_q, v_s = quantize_int_mm(vf, axis=-1)
-        v_scale = v_s[..., 0].transpose(0, 2, 1) \
-            .reshape(b * kh, 1, kn)                 # (B*KH, 1, KN)
-    else:
-        v_q = vf.astype(jnp.bfloat16)
-
-    # flatten heads back into columns — a free view of the qkv slab
-    q_in = q_q.reshape(b, n, h * d)
-    k_in = k_q.reshape(b, kn, kh * d)
-    v_in = v_q.reshape(b, kn, kh * d)
-    from ..envconfig import env_blocks
-    ov = env_blocks("SDNQ_TPU_ATTN_BLOCKS", 2)
-    bm = ov[0] if ov else min(512, max(8, n // max(1, n // 512)))
-    bm = min(bm, n)
-    while n % bm != 0:
-        bm //= 2
-    bk = ov[1] if ov else min(512, kn)
-    bk = min(bk, kn)
-    while kn % bk != 0:
-        bk //= 2
-    out = _attn_pallas_nhd(
-        q_in, k_in, v_in, q_scale, k_scale, v_scale, mask,
-        causal=is_causal, quantized=do_quant, quantized_pv=do_quant_pv,
-        sm_scale=sm_for_kernel, q_per_kv=q_per_kv, heads=h,
-        mask_is_bool=mask_is_bool, out_dtype=jnp.dtype(out_dtype),
-        bm=bm, bk=bk, kn_valid=kn, pv_const=pv_const)
-    out = out.reshape(b, n, h, d)
-    if pv_const:
-        vs_rep = jnp.repeat(vs_head, q_per_kv, axis=2)  # (B,1,H,1)
-        out = (out * vs_rep).astype(jnp.dtype(out_dtype))
-    return out

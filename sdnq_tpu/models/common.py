@@ -118,13 +118,10 @@ def apply_rope(x, freqs):
 # Attention / MLP
 # ---------------------------------------------------------------------------
 
-def attention(q, k, v, attn_config: dict | None = None,
-              layout: str = "bhnd"):
-    """q/k/v: (B, H, N, D) (layout="bhnd") or (B, N, H, D) ("bnhd") ->
-    (B, N, H*D).  attn_config selects the quantized attention path
-    (matmul_dtype etc.).  The bnhd layout skips both head transposes: the
-    Pallas kernel reads per-head slabs via 4D BlockSpecs and the output
-    reshapes to (B, N, H*D) with no data movement."""
+def attention(q, k, v, attn_config: dict | None = None):
+    """q/k/v: (B, H, N, D) -> (B, N, H*D).  attn_config selects the
+    quantized attention path (matmul_dtype etc.; "auto" routes through
+    the measured crossover policy in kernels/attention.py)."""
     cfg = attn_config or {}
     out = quantized_attention(
         q, k, v,
@@ -134,11 +131,7 @@ def attention(q, k, v, attn_config: dict | None = None,
         use_hadamard=cfg.get("use_hadamard", False),
         is_causal=cfg.get("is_causal", False),
         out_dtype=q.dtype if q.dtype != jnp.int8 else jnp.bfloat16,
-        layout=layout,
     )
-    if layout == "bnhd":
-        b, n, h, d = out.shape
-        return out.reshape(b, n, h * d)
     b, h, n, d = out.shape
     return out.transpose(0, 2, 1, 3).reshape(b, n, h * d)
 
@@ -146,13 +139,6 @@ def attention(q, k, v, attn_config: dict | None = None,
 def split_heads(x, heads: int):
     b, n, hd = x.shape
     return x.reshape(b, n, heads, hd // heads).transpose(0, 2, 1, 3)
-
-
-def split_heads_nhd(x, heads: int):
-    """(B, N, H*D) -> (B, N, H, D) — a pure reshape (no transpose), for
-    the bnhd attention layout."""
-    b, n, hd = x.shape
-    return x.reshape(b, n, heads, hd // heads)
 
 
 def gelu(x):

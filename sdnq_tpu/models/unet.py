@@ -340,8 +340,10 @@ def make_staged_unet_forward(cfg: UNetConfig,
     def _sync(v, name):
         if sync:
             jax.block_until_ready(v)
+            import time
             from ..utils import log
-            log.info("staged-unet stage ok: %s", name)
+            log.info("staged-unet stage ok: %s (t=%.1fs)", name,
+                     time.perf_counter())
         return v
 
     @jax.jit
@@ -433,6 +435,13 @@ def make_staged_unet_forward(cfg: UNetConfig,
             lvl_skips, skips = tuple(skips[-n:]), skips[:-n]
             h = up_level(blk, h, temb, ctx, lvl_skips)
             _sync(h, f"up{i}")
+        import os
+        if os.environ.get("SDNQ_TPU_CLEAR_CACHES_BEFORE_HEAD"):
+            # diagnostic: drop references to every staged executable so the
+            # worker can free program memory before compiling head
+            import gc
+            jax.clear_caches()
+            gc.collect()
         p_head = {"conv_norm_out": params["conv_norm_out"],
                   "conv_out": params["conv_out"]}
         return head(p_head, h)

@@ -54,19 +54,24 @@ def sd_pipe():
 
 def _per_layer_worst(orig, qp, bits):
     """Worst per-layer normalized MSE across quantized leaves, asserted
-    against the reference's 10^(-bits/2) acceptance rule."""
+    against the reference's 10^(-bits/2) acceptance rule.  ``bits=None``
+    uses each leaf's own chosen format width (the dynamic-ladder case,
+    where per-layer dtypes differ: quantizer.py:264-398)."""
     flat_o = {jax.tree_util.keystr(p): l
               for p, l in jax.tree_util.tree_flatten_with_path(orig)[0]}
-    worst = 0.0
+    worst, worst_ratio = 0.0, 0.0
     for p, leaf in jax.tree_util.tree_flatten_with_path(
             qp, is_leaf=lambda l: isinstance(l, QTensor))[0]:
         if not isinstance(leaf, QTensor):
             continue
         w0 = flat_o[jax.tree_util.keystr(p)]
         wd = dequantize(leaf, jnp.float32)
-        worst = max(worst, float(normalized_mse(wd, w0)))
+        nm = float(normalized_mse(wd, w0))
+        b = bits if bits is not None else leaf.meta.format.num_bits
+        worst = max(worst, nm)
+        worst_ratio = max(worst_ratio, nm / dynamic_loss_threshold(b))
     assert worst > 0  # something actually quantized
-    assert worst <= dynamic_loss_threshold(bits), worst
+    assert worst_ratio <= 1.0, (worst, worst_ratio)
     return worst
 
 
@@ -78,6 +83,17 @@ def _per_layer_worst(orig, qp, bits):
      dict(weights_dtype="uint4", group_size=64, use_hadamard=True,
           use_svd=True), 4,
      dict(latent=1e-2, img_nmse=2e-2, psnr=30.0, ssim=0.93)),
+    # dynamic ladder (VERDICT r4 #7): every layer walks up from int4 until
+    # its nmse clears the CHOSEN dtype's 10^(-bits/2) rule — the image
+    # gates then hold regardless of which mix of dtypes got picked
+    # (gates calibrated on this setup: measured img nmse 0.021 — dynamic
+    # accepts plain int4 per-layer where uint4_hadamard_svd carries
+    # rotation+rank correction, so the image-level noise is ~3x higher
+    # while every layer still clears its chosen dtype's rule)
+    ("dynamic_from_int4",
+     dict(weights_dtype="int4", group_size=64,
+          use_dynamic_quantization=True, use_quantized_matmul=True), None,
+     dict(latent=2e-2, img_nmse=6e-2, psnr=25.0, ssim=0.88)),
 ])
 def test_image_quality_gate(sd_pipe, label, cfgq, bits, gates):
     ucfg, vcfg, up, vp, emb, img_ref = sd_pipe
