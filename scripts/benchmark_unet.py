@@ -54,14 +54,26 @@ def main():
     cfg = SDXL_CONFIG if args.model == "sdxl" else SD15_CONFIG
     arch = ("StableDiffusionXLPipeline" if args.model == "sdxl"
             else "StableDiffusionPipeline")
-    # init on the host CPU backend (90s vs 12min of tunneled TPU
-    # dispatches at SDXL scale), ship in one transfer
+    # init (and for --only quant, also quantize) on the host CPU backend:
+    # TPU-side init is 12 min of tunneled dispatches at SDXL scale, and
+    # shipping the int8 tree instead of bf16 halves the one transfer.
+    # Keeping each process lean matters doubly here — heavy sessions die
+    # ~10-15 min after first device contact (STATUS.md round-4 notes).
+    dev = jax.devices()[0]
     with jax.default_device(jax.devices("cpu")[0]):
         params = init_unet(jax.random.key(0), cfg, dtype=jnp.bfloat16)
         jax.block_until_ready(jax.tree_util.tree_leaves(params)[:1])
-    params = jax.device_put(params, jax.devices()[0])
+        if args.only == "quant":
+            _mark("quantizing on cpu")
+            params, _ = quantize_model(
+                params,
+                QuantConfig(weights_dtype=args.fmt,
+                            use_quantized_matmul=True),
+                arch=arch)
+    _mark("transferring to device")
+    params = jax.device_put(params, dev)
     jax.block_until_ready(jax.tree_util.tree_leaves(params)[-1])
-    _mark("params initialized")
+    _mark("params on device")
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(args.batch, args.latent, args.latent,
@@ -89,8 +101,8 @@ def main():
         print(f"bf16:    {t_bf16*1e3:8.2f} ms/step "
               f"({args.batch/t_bf16:.2f} img/s)", flush=True)
 
-    if args.only in ("both", "quant"):
-        _mark("quantizing model")
+    if args.only == "both":
+        _mark("quantizing model on device")
         qp, _ = quantize_model(
             params,
             QuantConfig(weights_dtype=args.fmt, use_quantized_matmul=True),
@@ -107,6 +119,9 @@ def main():
         for leaf in jax.tree_util.tree_leaves(params):
             if hasattr(leaf, "delete") and id(leaf) not in keep:
                 leaf.delete()
+    elif args.only == "quant":
+        qp = params  # quantized on cpu above
+    if args.only in ("both", "quant"):
         _mark("quant: compiling + timing")
         t_q = timeit(run(qp, {"matmul_dtype": "int8"}), x, steps=args.steps)
         vs = f"  {t_bf16/t_q:.2f}x bf16" if t_bf16 else ""

@@ -150,6 +150,75 @@ def test_flux_keymap_roundtrip_unquantized(flux_ckpt):
     assert err < 2e-2, err  # bf16 rounding only
 
 
+def _perturbed_ckpt(src_path, tmp_path, mutate):
+    """Copy the synthetic checkpoint with its state dict run through
+    ``mutate`` (add/drop/rename keys) — the negative-coverage fixtures."""
+    import shutil
+    from safetensors.numpy import load_file, save_file
+    dst = str(tmp_path)
+    sd = load_file(os.path.join(src_path, "model.safetensors"))
+    sd = mutate(dict(sd))
+    save_file(sd, os.path.join(dst, "model.safetensors"))
+    shutil.copy(os.path.join(src_path, "config.json"),
+                os.path.join(dst, "config.json"))
+    return dst
+
+
+def test_flux_loader_rejects_extra_key(flux_ckpt, tmp_path):
+    """An unmapped (e.g. renamed-in-a-new-diffusers-version) key must fail
+    loudly, not silently drop (VERDICT r3 #8; reference guarantee:
+    loader.py:82-196 load_state_dict(assign=True))."""
+    from sdnq_tpu.io.hf import CheckpointCoverageError
+    path, _ = flux_ckpt
+    bad = _perturbed_ckpt(path, tmp_path, lambda sd: {
+        **sd, "transformer_blocks.0.attn.to_q_new.weight":
+        np.zeros((4, 4), np.float32)})
+    with pytest.raises(CheckpointCoverageError, match="not consumed"):
+        load_flux(bad, QuantConfig(weights_dtype="bfloat16"))
+
+
+def test_flux_loader_rejects_missing_key(flux_ckpt, tmp_path):
+    from sdnq_tpu.io.hf import CheckpointCoverageError
+    path, _ = flux_ckpt
+
+    def drop(sd):
+        del sd["transformer_blocks.0.attn.to_k.weight"]
+        return sd
+    bad = _perturbed_ckpt(path, tmp_path, drop)
+    with pytest.raises(Exception) as ei:
+        load_flux(bad, QuantConfig(weights_dtype="bfloat16"))
+    # either the coverage check or the qkv fuse (missing operand) fires —
+    # loudly, never a silent drop
+    assert isinstance(ei.value, (CheckpointCoverageError, KeyError,
+                                 ValueError, TypeError)), ei.value
+
+
+def test_flux_loader_rejects_renamed_key(flux_ckpt, tmp_path):
+    from sdnq_tpu.io.hf import CheckpointCoverageError
+    path, _ = flux_ckpt
+
+    def rename(sd):
+        sd["transformer_blocks.0.attn.query.weight"] = \
+            sd.pop("transformer_blocks.0.attn.to_q.weight")
+        return sd
+    bad = _perturbed_ckpt(path, tmp_path, rename)
+    with pytest.raises(Exception) as ei:
+        load_flux(bad, QuantConfig(weights_dtype="bfloat16"))
+    assert isinstance(ei.value, (CheckpointCoverageError, KeyError,
+                                 ValueError, TypeError)), ei.value
+
+
+def test_flux_loader_non_strict_mode(flux_ckpt, tmp_path):
+    """strict=False restores the permissive behavior for intentionally
+    partial checkpoints."""
+    path, _ = flux_ckpt
+    bad = _perturbed_ckpt(path, tmp_path, lambda sd: {
+        **sd, "some.extra.stat": np.zeros((2,), np.float32)})
+    qp, cfg, _ = load_flux(bad, QuantConfig(weights_dtype="bfloat16"),
+                           strict=False)
+    assert "transformer_blocks" in qp
+
+
 def test_flux_keymap_int8_matches_direct_quantize(flux_ckpt):
     """Loader-vs-direct: quantizing the loaded (mapped+fused) tree must
     equal quantizing the original tree in-process — this isolates mapping

@@ -109,3 +109,28 @@ def test_streaming_hf_load_and_quantize(tmp_path):
     # proj_out is a skip key for Flux
     assert not isinstance(params["proj_out"]["weight"], QTensor)
     assert blocks[0]["attn"]["to_q"]["bias"].dtype == jnp.bfloat16
+
+
+def test_check_tree_coverage_exact_and_mismatch():
+    """Unit semantics of the loader coverage gate (VERDICT r3 #8): exact
+    trees pass, missing/extra leaves raise with both paths named, and
+    ``optional`` prefixes are exempt on either side."""
+    import pytest
+    from sdnq_tpu.io.hf import CheckpointCoverageError, check_tree_coverage
+
+    exp = {"a": {"w": 1, "b": 2}, "blocks": [{"w": 3}, {"w": 4}]}
+    check_tree_coverage({"a": {"w": 0, "b": 0},
+                         "blocks": [{"w": 0}, {"w": 0}]}, exp)
+
+    with pytest.raises(CheckpointCoverageError, match="missing: a.b"):
+        check_tree_coverage({"a": {"w": 0},
+                             "blocks": [{"w": 0}, {"w": 0}]}, exp)
+    with pytest.raises(CheckpointCoverageError, match="unexpected: zz"):
+        check_tree_coverage({"a": {"w": 0, "b": 0}, "zz": 9,
+                             "blocks": [{"w": 0}, {"w": 0}]}, exp)
+    # optional prefixes may be absent (e.g. VAE quant_conv) or extra
+    check_tree_coverage({"a": {"w": 0, "b": 0}, "opt": {"x": 1},
+                         "blocks": [{"w": 0}, {"w": 0}]}, exp,
+                        optional=("opt",))
+    check_tree_coverage({"a": {"w": 0}, "blocks": [{"w": 0}, {"w": 0}]},
+                        exp, optional=("a.b",))
