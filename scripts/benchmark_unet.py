@@ -74,6 +74,11 @@ def main():
     params = jax.device_put(params, dev)
     jax.block_until_ready(jax.tree_util.tree_leaves(params)[-1])
     _mark("params on device")
+    # pre-warm the timing sync's slice/readback program for the output
+    # shape NOW: any cold compile issued late in the session hangs when
+    # the tunnel's compile service dies (STATUS.md round-4 notes)
+    np.asarray(jnp.zeros((args.batch, args.latent, args.latent,
+                          cfg.out_channels), jnp.bfloat16).ravel()[0])
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(args.batch, args.latent, args.latent,

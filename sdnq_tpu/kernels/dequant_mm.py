@@ -353,8 +353,8 @@ def _dequant_mm_pallas(x, wq, scale, zp, bias, *, fmt_name, code_bits,
 # ---------------------------------------------------------------------------
 
 def _groupdot_kernel(x_ref, wq_ref, scale_t_ref, zp_t_ref, bias_ref, e_ref,
-                     out_ref, wdec_ref, *, planes: tuple, code_min: int,
-                     is_float: bool, fmt_name: str,
+                     xsum_ref, out_ref, wdec_ref, *, planes: tuple,
+                     code_min: int, is_float: bool, fmt_name: str,
                      g: int, n_groups: int, kdim: int, has_zp: bool,
                      has_bias: bool, groupdot: bool):
     i = pl.program_id(1)
@@ -447,12 +447,13 @@ def _groupdot_kernel(x_ref, wq_ref, scale_t_ref, zp_t_ref, bias_ref, e_ref,
         if has_zp or not is_float:
             # zero-point dot carries both the real zero-points and the
             # folded offset-binary code_min (zp_t_ref is pre-combined by
-            # the caller); float weights are symmetric — no dot needed
-            xsum = jax.lax.dot_general(
-                x_ref[:], e_ref[:], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)       # (BM, G)
+            # the caller); float weights are symmetric — no dot needed.
+            # xsum (per-row group sums) depends only on the i block and is
+            # precomputed by the caller — the j-outer grid would repeat
+            # the reduction every j step
             acc = acc + jax.lax.dot_general(
-                xsum, zp_t_ref[:].astype(jnp.float32),
+                xsum_ref[:].astype(jnp.float32),
+                zp_t_ref[:].astype(jnp.float32),
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
     else:
@@ -507,6 +508,9 @@ def _groupdot_mm_pallas(x, wq, scale, zp, bias, *, fmt_name, code_bits,
                else jnp.zeros((1, o), jnp.float32))
     e = (jnp.arange(kdim)[None, :] // g
          == jnp.arange(n_groups)[:, None]).astype(jnp.float32)  # (G, K)
+    # per-row group sums, once per call (kernel comment at the zp dot)
+    xsum = jnp.sum(
+        x.astype(jnp.float32).reshape(m, n_groups, g), axis=-1)  # (M, G)
 
     kernel = functools.partial(
         _groupdot_kernel, planes=tuple(halfsplit_planes(code_bits)),
@@ -533,6 +537,8 @@ def _groupdot_mm_pallas(x, wq, scale, zp, bias, *, fmt_name, code_bits,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n_groups, kdim), lambda j, i: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm_, n_groups), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bm_, bn_), lambda j, i: (i, j),
                                memory_space=pltpu.VMEM),
@@ -544,7 +550,7 @@ def _groupdot_mm_pallas(x, wq, scale, zp, bias, *, fmt_name, code_bits,
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0),
         interpret=pallas_interpret(),
-    )(x, wq, scale_t, zp_t, bias_in, e)
+    )(x, wq, scale_t, zp_t, bias_in, e, xsum)
 
 
 # ---------------------------------------------------------------------------
@@ -703,7 +709,7 @@ def _blockdiag_mm_pallas(x, wq, scale, zp, bias, *, fmt_name, code_bits,
 # ---------------------------------------------------------------------------
 
 def _groupdot_i8_kernel(xq_ref, wq_ref, scale_t_ref, zpc_t_ref, xs_ref,
-                        bias_ref, e_ref, out_ref, wdec_ref, *,
+                        bias_ref, xsum_ref, out_ref, wdec_ref, *,
                         planes: tuple, g: int, n_groups: int, kdim: int,
                         has_bias: bool):
     i = pl.program_id(1)
@@ -752,12 +758,13 @@ def _groupdot_i8_kernel(xq_ref, wq_ref, scale_t_ref, zpc_t_ref, xs_ref,
         term = part.astype(jnp.float32) \
             * scale_t_ref[gi:gi + 1, :].astype(jnp.float32)
         acc = term if acc is None else acc + term
-    # zero-point + offset-binary minimum: one rank-G dot on int sums
-    xsum = jax.lax.dot_general(
-        xq_ref[:], e_ref[:], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.int32)                # (BM, G) i32
+    # zero-point + offset-binary minimum: one rank-G dot on the per-row
+    # group sums.  xsum depends only on the i block but the grid is
+    # j-outer (decoded weights reused across i), so it is precomputed by
+    # the caller — recomputing it per (j, i) step cost ~6-10% of the dot
+    # at serving M (r4 measurement behind the uint4:q M=512 0.85x row)
     acc = acc + jax.lax.dot_general(
-        xsum.astype(jnp.float32), zpc_t_ref[:].astype(jnp.float32),
+        xsum_ref[:].astype(jnp.float32), zpc_t_ref[:].astype(jnp.float32),
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     acc = acc * xs_ref[:].astype(jnp.float32)            # per-row x scales
@@ -787,8 +794,12 @@ def _groupdot_i8_mm_pallas(xq, xs, wq, scale, zp, bias, *, code_bits,
         zpc_t = zpc_t + jnp.transpose(zp).astype(jnp.float32)
     bias_in = (bias.reshape(1, -1) if has_bias
                else jnp.zeros((1, o), jnp.float32))
-    e = (jnp.arange(kdim)[None, :] // g
-         == jnp.arange(n_groups)[:, None]).astype(jnp.int8)  # (G, K)
+    # per-row group sums of the quantized input, once for the whole call
+    # (the kernel's zp/code_min dot consumes them; computing them in-kernel
+    # repeated the reduction every j step of the j-outer grid)
+    xsum = jnp.sum(
+        xq.reshape(m, n_groups, g).astype(jnp.int32), axis=-1) \
+        .astype(jnp.float32)                                 # (M, G)
 
     kernel = functools.partial(
         _groupdot_i8_kernel, planes=tuple(halfsplit_planes(code_bits)),
@@ -813,7 +824,7 @@ def _groupdot_i8_mm_pallas(xq, xs, wq, scale, zp, bias, *, code_bits,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bn_), lambda j, i: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_groups, kdim), lambda j, i: (0, 0),
+            pl.BlockSpec((bm_, n_groups), lambda j, i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bm_, bn_), lambda j, i: (i, j),
@@ -826,7 +837,7 @@ def _groupdot_i8_mm_pallas(xq, xs, wq, scale, zp, bias, *, code_bits,
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0),
         interpret=pallas_interpret(),
-    )(xq, wq, scale_t, zpc_t, xs, bias_in, e)
+    )(xq, wq, scale_t, zpc_t, xs, bias_in, xsum)
 
 
 # ---------------------------------------------------------------------------

@@ -150,12 +150,18 @@ def _quantized_matmul_2d(x2d, qt: QTensor, bias, out_dtype,
     if meta.re_quantize_for_matmul:
         from .envconfig import env_int
         packed_mm_max = env_int("SDNQ_TPU_PACKED_MM_MAX_ROWS", 8192)
-        if meta.is_packed and mfmt.is_integer and not mfmt.is_unsigned \
+        if meta.is_packed and mfmt.is_integer \
                 and not emit_quantized and x2d.shape[0] < packed_mm_max:
             # packed int weights: fused kernel runs the int8 MXU dots on
             # the raw sub-byte codes with GROUP-wise scales intact — no
             # materialized re-quantized operand, strictly more accurate
-            # than the reference's rowwise re_quantize_matmul route
+            # than the reference's rowwise re_quantize_matmul route.
+            # Unsigned storage (uint4 etc., mfmt uint8) routes here too:
+            # the kernel's zero-point rank-G dot carries the asymmetric
+            # offset exactly; only the ACTIVATION quantization differs
+            # (symmetric int8 instead of asymmetric uint8 — an execution-
+            # format routing like fp8-to-int8, r4: uint4:128:q measured
+            # 0.85x via the requantize route vs the packed kernel's path)
             from .kernels.dequant_mm import packed_int8_matmul
             scale = qt.scale.reshape(qt.scale.shape[0], -1)
             zp = (qt.zero_point.reshape(scale.shape)

@@ -337,6 +337,14 @@ def make_staged_unet_forward(cfg: UNetConfig,
     groups = cfg.norm_groups
     acfg = attn_config
 
+    import os
+    # cap async queue depth: the tunneled TPU worker crashes when all 9
+    # stage programs of an SDXL step are enqueued back-to-back (STATUS.md
+    # round-4 notes); a light block every N stages keeps at most N big
+    # programs in flight at ~1-3 ms/block tunnel cost each
+    sync_every = int(os.environ.get("SDNQ_TPU_STAGE_SYNC_EVERY", "0") or 0)
+    stage_idx = [0]
+
     def _sync(v, name):
         if sync:
             jax.block_until_ready(v)
@@ -344,6 +352,10 @@ def make_staged_unet_forward(cfg: UNetConfig,
             from ..utils import log
             log.info("staged-unet stage ok: %s (t=%.1fs)", name,
                      time.perf_counter())
+        elif sync_every:
+            stage_idx[0] += 1
+            if stage_idx[0] % sync_every == 0:
+                jax.block_until_ready(v)
         return v
 
     @jax.jit
@@ -442,6 +454,8 @@ def make_staged_unet_forward(cfg: UNetConfig,
             import gc
             jax.clear_caches()
             gc.collect()
+        if os.environ.get("SDNQ_TPU_SKIP_HEAD"):
+            return h  # diagnostic: isolate the head stage (see STATUS.md)
         p_head = {"conv_norm_out": params["conv_norm_out"],
                   "conv_out": params["conv_out"]}
         return head(p_head, h)
