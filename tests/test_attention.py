@@ -163,3 +163,30 @@ def test_fp8_qk_pallas_interpret(monkeypatch):
                               out_dtype=jnp.float32)
     ref = _ref_attention(q, k, v)
     assert np.abs(np.asarray(out) - ref).max() < 0.12
+
+
+def test_auto_policy_points():
+    # representative (n, kn, d) points of the measured crossover policy —
+    # a threshold edit that flips any of these should fail loudly
+    from sdnq_tpu.kernels.attention import attn_auto_matmul_dtype
+    assert attn_auto_matmul_dtype(4096, 4096, 64) == "int8"
+    assert attn_auto_matmul_dtype(16384, 16384, 64) == "int8"
+    assert attn_auto_matmul_dtype(1024, 1024, 64) is None   # short n
+    assert attn_auto_matmul_dtype(4096, 1024, 64) is None   # short kv
+    assert attn_auto_matmul_dtype(4096, 4096, 128) is None  # wide head
+    assert attn_auto_matmul_dtype(65536, 65536, 128) is None
+
+
+@pytest.mark.parametrize("n,d,expect", [(64, 32, None)])
+def test_auto_equals_selected_path(n, d, expect):
+    # "auto" must produce bit-identical output to the dtype the policy
+    # itself selects (it resolves before dispatch, not a separate path)
+    from sdnq_tpu.kernels.attention import attn_auto_matmul_dtype
+    q, k, v = _qkv(n=n, kn=n, d=d, seed=11)
+    sel = attn_auto_matmul_dtype(n, n, d)
+    assert sel == expect
+    out_auto = quantized_attention(q, k, v, matmul_dtype="auto",
+                                   out_dtype=jnp.float32)
+    out_sel = quantized_attention(q, k, v, matmul_dtype=sel,
+                                  out_dtype=jnp.float32)
+    assert np.array_equal(np.asarray(out_auto), np.asarray(out_sel))

@@ -321,3 +321,33 @@ def test_fp16_matmul_storage_is_bf16():
     # weight-only fp16 keeps the f16 grid (higher-precision dequant)
     qt2 = quantize_tensor(_w((64, 256)), "fp16")
     assert qt2.qdata.dtype == jnp.float16
+
+
+def test_qlinear_uint4_packed_matmul_route(monkeypatch):
+    """ADVICE r4: unsigned packed storage must route through
+    packed_int8_matmul at the layer level and match the dequantized matmul
+    (activation quant is symmetric int8 by design — an execution-format
+    routing; the asymmetric WEIGHT offset rides the kernel's rank-G
+    zero-point dot exactly)."""
+    monkeypatch.setenv("SDNQ_TPU_KERNEL_BACKEND", "interpret")
+    w = _w((128, 512)) + 0.8  # asymmetric distribution
+    x = _w((64, 512), seed=2, scale=0.5)
+    qt = quantize_tensor(w, "uint4", group_size=128,
+                         use_quantized_matmul=True)
+    assert qt.meta.re_quantize_for_matmul and qt.meta.is_packed
+
+    import sdnq_tpu.kernels.dequant_mm as dm
+    calls = []
+    orig = dm.packed_int8_matmul
+
+    def spy(*a, **k):
+        out = orig(*a, **k)
+        calls.append(out is not None)
+        return out
+
+    monkeypatch.setattr(dm, "packed_int8_matmul", spy)
+    y = qlinear(x, qt, None, out_dtype=jnp.float32)
+    assert calls == [True], "packed int8 route not taken"
+    ref = x @ dequantize(qt, jnp.float32).T
+    rel = float(jnp.abs(y - ref).max() / jnp.abs(ref).max())
+    assert rel < 0.03, rel
