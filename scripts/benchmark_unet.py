@@ -42,6 +42,11 @@ def main():
     ap.add_argument("--sync", action="store_true",
                     help="block+log after every stage (device-fault "
                          "attribution; implies --staged timing overhead)")
+    ap.add_argument("--warm-only", action="store_true",
+                    help="AOT-compile every stage into the persistent "
+                         "compile cache (ShapeDtypeStruct params, zero "
+                         "transfer) and exit — run this first in its own "
+                         "process so the timed run is all cache hits")
     args = ap.parse_args()
 
     import time as _time
@@ -70,10 +75,37 @@ def main():
                 QuantConfig(weights_dtype=args.fmt,
                             use_quantized_matmul=True),
                 arch=arch)
-    _mark("transferring to device")
-    params = jax.device_put(params, dev)
-    jax.block_until_ready(jax.tree_util.tree_leaves(params)[-1])
-    _mark("params on device")
+    if args.warm_only:
+        _mark("AOT-warming stage compile cache (no transfer)")
+        attn = ({"matmul_dtype": "int8"} if args.only == "quant" else None)
+        fwd = make_staged_unet_forward(cfg, attn_config=attn)
+        x_a = jax.ShapeDtypeStruct(
+            (args.batch, args.latent, args.latent, cfg.in_channels),
+            jnp.bfloat16)
+        t_a = jax.ShapeDtypeStruct((args.batch,), jnp.float32)
+        ctx_a = jax.ShapeDtypeStruct(
+            (args.batch, args.ctx, cfg.cross_attention_dim), jnp.bfloat16)
+        added_a = (jax.ShapeDtypeStruct(
+            (args.batch, cfg.addition_embed_dim), jnp.bfloat16)
+            if cfg.addition_embed_dim else None)
+        fwd.warm(params, x_a, t_a, ctx_a, added_cond=added_a)
+        _mark("stage cache warm — exiting")
+        return
+
+    _mark("transferring to device (packed single-buffer)")
+    # ONE bulk transfer instead of 2,400 per-leaf puts: per-leaf tunnel
+    # overhead moved the int8 tree at ~25 MB/s (~3 min), spending the
+    # session death window on the transfer alone (STATUS.md round-5).
+    from sdnq_tpu.utils.transfer import device_put_packed
+    params = device_put_packed(params, dev)
+    # Drain the transfer with a one-element host READBACK before any
+    # compile is issued: through the tunnel, block_until_ready returns
+    # early (bench_common._sync note), so compiles would otherwise overlap
+    # the in-flight transfer — which reproducibly crashes the TPU worker.
+    last = [l for l in jax.tree_util.tree_leaves(params)
+            if hasattr(l, "ravel")][-1]
+    np.asarray(last.ravel()[0])
+    _mark("params on device (transfer drained)")
     # pre-warm the timing sync's slice/readback program for the output
     # shape NOW: any cold compile issued late in the session hangs when
     # the tunnel's compile service dies (STATUS.md round-4 notes)

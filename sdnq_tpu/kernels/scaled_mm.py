@@ -305,7 +305,7 @@ def _fused_act_mm_kernel(x_ref, w_ref, ws_ref, bias_ref, u_ref, v_ref,
     static_argnames=("x_fmt", "out_dtype", "bm", "bn", "b_dim0", "emit_q"),
 )
 def _fused_act_mm_pallas(x, w_q, w_scale, bias, u=None, v=None,
-                         v_zp0=None, v_zp1=None, colscale=None,
+                         v_zp0=None, v_zp1=None, colscale=None, layer=None,
                          x_fmt="int8", out_dtype=jnp.bfloat16,
                          bm=0, bn=0, b_dim0=False, emit_q=False):
     """x (M, K) float; w_q (O, K) int8/fp8 — or (K, O) with ``b_dim0=True``
@@ -314,9 +314,21 @@ def _fused_act_mm_pallas(x, w_q, w_scale, bias, u=None, v=None,
     int8 transpose in HBM).  Quantizes x per-row in the kernel prologue
     (j == 0 of each i-row; the x block stays VMEM-resident across the j
     sweep).  u/v carry the SVD epilogue; v_zp0/v_zp1 are the weight-side
-    zero-point rank-1 rows for the asymmetric path."""
+    zero-point rank-1 rows for the asymmetric path.
+
+    ``layer``: traced (1,) int32 — STACKED mode for scan-over-layers
+    models: w_q is (L, O, K), w_scale/bias (L, 1, O), and the kernel DMAs
+    tiles of layer ``layer[0]`` straight out of the stacked HBM buffer via
+    scalar-prefetch BlockSpec index maps.  This is the aliasing XLA cannot
+    do for a dynamic-slice feeding a custom call (it materializes a copy of
+    every weight every scan step — ~1.1 ms/block at Flux width)."""
     m, kdim = x.shape
-    o = w_q.shape[1] if b_dim0 else w_q.shape[0]
+    stacked = layer is not None
+    if stacked:
+        assert not b_dim0 and not emit_q, "stacked mode is inference NT"
+        o = w_q.shape[1]  # (L, O, K)
+    else:
+        o = w_q.shape[1] if b_dim0 else w_q.shape[0]
     asym = v_zp0 is not None
     fuse_fp8 = x_fmt.startswith("float8")
     if fuse_fp8:
@@ -349,9 +361,25 @@ def _fused_act_mm_pallas(x, w_q, w_scale, bias, u=None, v=None,
     has_ws, has_bias = w_scale is not None, bias is not None
     has_uv = u is not None
     r = u.shape[-1] if has_uv else 8
-    ws = (w_scale.reshape(1, -1) if has_ws
-          else jnp.zeros((1, o), jnp.float32))
-    b = bias.reshape(1, -1) if has_bias else jnp.zeros((1, o), jnp.float32)
+    if stacked:
+        assert not (asym or has_uv or colscale is not None), \
+            "stacked mode supports the symmetric rowwise path only"
+        lyr = w_q.shape[0]
+        # (L, O, 1) scale and (L, O) bias reshape to (L, 1, O) — identical
+        # linear data order, so these are metadata-only inside the scan.
+        # A PER-LAYER (already sliced, size-O) scale/bias is also accepted
+        # and rides a constant index map.
+        ws = (w_scale.reshape(-1, 1, o) if has_ws
+              else jnp.zeros((1, 1, o), jnp.float32))
+        b = (bias.reshape(-1, 1, o) if has_bias
+             else jnp.zeros((1, 1, o), jnp.float32))
+        ws_stacked = ws.shape[0] == lyr and lyr > 1
+        b_stacked = b.shape[0] == lyr and lyr > 1
+    else:
+        ws = (w_scale.reshape(1, -1) if has_ws
+              else jnp.zeros((1, o), jnp.float32))
+        b = (bias.reshape(1, -1) if has_bias
+             else jnp.zeros((1, o), jnp.float32))
     u_in = u if has_uv else jnp.zeros((m, r), jnp.float32)
     v_in = v if has_uv else jnp.zeros((r, o), jnp.float32)
     z0 = (v_zp0.reshape(1, -1) if asym else jnp.zeros((1, o), jnp.float32))
@@ -364,34 +392,73 @@ def _fused_act_mm_pallas(x, w_q, w_scale, bias, u=None, v=None,
         _fused_act_mm_kernel, qmax=qmax, acc_dtype=acc_dtype,
         has_ws=has_ws, has_bias=has_bias, has_uv=has_uv, asym=asym,
         fuse_fp8=fuse_fp8, b_dim0=b_dim0, has_cs=has_cs)
+    if stacked:
+        inner = kernel
+
+        def kernel(l_ref, x_ref, w_ref, ws_ref, bias_ref, u_ref, v_ref,
+                   vz0_ref, vz1_ref, cs_ref, out_ref, *scratch):
+            # stacked refs arrive as (1, ...) blocks of the prefetched
+            # layer; .at[0] views them back to the unstacked shapes
+            inner(x_ref, w_ref.at[0], ws_ref.at[0], bias_ref.at[0],
+                  u_ref, v_ref, vz0_ref, vz1_ref, cs_ref, out_ref,
+                  *scratch)
 
     flops = 2 * m * o * kdim
     bytes_accessed = (m * kdim * x.dtype.itemsize + o * kdim
                       + m * o * jnp.dtype(out_dtype).itemsize)
-    row = lambda i, j: (0, j)  # noqa: E731
-    in_specs_list = [
-        pl.BlockSpec((bm_, kdim), lambda i, j: (i, 0),
-                     memory_space=pltpu.VMEM),
-        (pl.BlockSpec((kdim, bn_), lambda i, j: (0, j),
-                      memory_space=pltpu.VMEM) if b_dim0 else
-         pl.BlockSpec((bn_, kdim), lambda i, j: (j, 0),
-                      memory_space=pltpu.VMEM)),
-        pl.BlockSpec((1, bn_), row, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, bn_), row, memory_space=pltpu.VMEM),
-        pl.BlockSpec((bm_, r), lambda i, j: (i, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((r, bn_), row, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, bn_), row, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, bn_), row, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, kdim), lambda i, j: (0, 0),
-                     memory_space=pltpu.VMEM),
-    ]
+    if stacked:
+        # index maps receive the prefetched layer scalar ref after the
+        # grid indices; stacked operands pick their layer plane there, so
+        # the DMA reads the stacked HBM buffer directly
+        lsel = lambda i, j, l: (l[0], 0, j)       # noqa: E731
+        lrow = lambda i, j, l: (0, 0, j)          # noqa: E731
+        in_specs_list = [
+            pl.BlockSpec((bm_, kdim), lambda i, j, l: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn_, kdim), lambda i, j, l: (l[0], j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bn_), lsel if ws_stacked else lrow,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bn_), lsel if b_stacked else lrow,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm_, r), lambda i, j, l: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, bn_), lambda i, j, l: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn_), lambda i, j, l: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn_), lambda i, j, l: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kdim), lambda i, j, l: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+    else:
+        row = lambda i, j: (0, j)  # noqa: E731
+        in_specs_list = [
+            pl.BlockSpec((bm_, kdim), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            (pl.BlockSpec((kdim, bn_), lambda i, j: (0, j),
+                          memory_space=pltpu.VMEM) if b_dim0 else
+             pl.BlockSpec((bn_, kdim), lambda i, j: (j, 0),
+                          memory_space=pltpu.VMEM)),
+            pl.BlockSpec((1, bn_), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn_), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm_, r), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, bn_), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn_), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn_), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kdim), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
     # With emit_q the in-kernel rowwise-quantized x (and its scales) is
     # written back to HBM as two extra outputs — the ckpt-training residual
     # comes out of the forward kernel for free (one (M, K) int8 store)
     # instead of a separate full quantize pass over x.
-    out_specs = pl.BlockSpec((bm_, bn_), lambda i, j: (i, j),
-                             memory_space=pltpu.VMEM)
+    out_specs = (pl.BlockSpec((bm_, bn_), lambda i, j, l: (i, j),
+                              memory_space=pltpu.VMEM) if stacked else
+                 pl.BlockSpec((bm_, bn_), lambda i, j: (i, j),
+                              memory_space=pltpu.VMEM))
     out_shape = jax.ShapeDtypeStruct((m, o), out_dtype)
     xq_spec = pl.BlockSpec((bm_, kdim), lambda i, j: (i, 0),
                            memory_space=pltpu.VMEM)
@@ -416,6 +483,31 @@ def _fused_act_mm_pallas(x, w_q, w_scale, bias, u=None, v=None,
             scratch = scratch[3:]
         else:
             scratch = scratch[2:]
+    compiler_params = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "arbitrary"),
+        # the quantize prologue keeps (bm, K) f32 temporaries live;
+        # v5e VMEM is 128MB — the 16MB default scoped limit is the
+        # v4-era conservative setting
+        vmem_limit_bytes=vmem_limit_bytes(),
+    )
+    cost = pl.CostEstimate(
+        flops=flops, bytes_accessed=bytes_accessed, transcendentals=0)
+    if stacked:
+        return pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(n_i, n_j),
+                in_specs=in_specs_list,
+                out_specs=out_specs,
+                scratch_shapes=scratch,
+            ),
+            out_shape=out_shape,
+            compiler_params=compiler_params,
+            cost_estimate=cost,
+            interpret=pallas_interpret(),
+        )(layer.reshape(1).astype(jnp.int32), x, w_q, ws, b, u_in, v_in,
+          z0, z1, cs)
     return pl.pallas_call(
         kernel,
         grid=(n_i, n_j),
@@ -423,15 +515,8 @@ def _fused_act_mm_pallas(x, w_q, w_scale, bias, u=None, v=None,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=scratch,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
-            # the quantize prologue keeps (bm, K) f32 temporaries live;
-            # v5e VMEM is 128MB — the 16MB default scoped limit is the
-            # v4-era conservative setting
-            vmem_limit_bytes=vmem_limit_bytes(),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0),
+        compiler_params=compiler_params,
+        cost_estimate=cost,
         interpret=pallas_interpret(),
     )(x, w_q, ws, b, u_in, v_in, z0, z1, cs)
 
@@ -719,7 +804,8 @@ def scaled_mm_fused_act(x, w_q,
                         bm: int = 0, bn: int = 0,
                         b_layout: str = "nt",
                         emit_quantized: bool = False,
-                        x_colscale: jax.Array | None = None):
+                        x_colscale: jax.Array | None = None,
+                        layer: jax.Array | None = None):
     """``scaled_mm`` with the per-row activation quantization fused into the
     kernel prologue — x arrives in bf16/f32 and never round-trips through
     HBM as a separate quantized array (the reference fuses this via
@@ -755,6 +841,12 @@ def scaled_mm_fused_act(x, w_q,
                 and kdim + pad <= 16384
                 and not (asym and pad)  # zero-pad would skew min/max
                 and not env_bool("SDNQ_TPU_DISABLE_FUSED_ACT", False))
+    if layer is not None:
+        # stacked mode: padding would copy the whole (L, O, K) stack per
+        # scan step — callers (layers._quantized_matmul_2d) slice instead
+        assert eligible and pad == 0 and not (asym or b_dim0
+                                              or emit_quantized), \
+            "stacked scaled_mm requires the aligned symmetric NT path"
     if eligible:
         if pad:
             x = jnp.pad(x, ((0, 0), (0, pad)))
@@ -766,7 +858,7 @@ def scaled_mm_fused_act(x, w_q,
             bm, bn = env_blocks("SDNQ_TPU_FUSED_MM_BLOCKS", 2) or (0, 0)
         out = _fused_act_mm_pallas(
             x, w_q, w_scale, bias, lowrank_u, lowrank_v, v_zp0, v_zp1,
-            x_colscale,
+            x_colscale, layer,
             x_fmt=x_fmt, out_dtype=jnp.dtype(out_dtype), bm=bm, bn=bn,
             b_dim0=b_dim0, emit_q=emit_quantized)
         if emit_quantized and asym:

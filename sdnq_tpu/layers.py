@@ -124,6 +124,24 @@ def _quantized_matmul_2d(x2d, qt: QTensor, bias, out_dtype,
     meta = qt.meta
     mfmt = meta.matmul_format
 
+    # Stacked-layer view (scan-over-layers models): the symmetric rowwise
+    # int8 path feeds the stacked (L, O, K) buffer straight into the fused
+    # kernel with a scalar-prefetch layer index — no per-iteration weight
+    # copy.  Every other path slices explicitly (the old scan cost).
+    if qt.layer is not None:
+        from .kernels.dispatch import use_pallas
+        kdim = x2d.shape[-1]
+        stacked_fast = (
+            not meta.re_quantize_for_matmul and not emit_quantized
+            and qt.svd_up is None and qt.zero_point is None
+            and mfmt.is_integer and not mfmt.is_unsigned
+            and qt.qdata.ndim == 3 and qt.qdata.dtype == jnp.int8
+            and kdim % 128 == 0 and 256 <= kdim <= 16384
+            and x2d.shape[0] >= 16 and use_pallas())
+        if not stacked_fast:
+            from .tensor import slice_stacked_layer
+            qt = slice_stacked_layer(qt)
+
     # fp8-on-TPU execution routing: chips without an fp8 MXU run fp8 dots
     # at the bf16 rate (~1.0x measured); execute on the int8 MXU instead,
     # storage untouched (reference capability-flag pattern:
@@ -188,6 +206,12 @@ def _quantized_matmul_2d(x2d, qt: QTensor, bias, out_dtype,
         # dequantize + rowwise-requantize to int8 on the fly
         w_q, w_scale, w_zp = _requantize_rowwise(qt, mfmt)
     else:
+        if qt.layer is not None:
+            # stacked fast path (gated at entry): symmetric int8 rowwise,
+            # scale (L, O, 1) rides to the kernel in its stored order
+            return scaled_mm_fused_act(
+                x2d, qt.qdata, qt.scale, bias, x_fmt="int8",
+                out_dtype=out_dtype, layer=qt.layer)
         if mfmt.is_integer:
             w_q, w_scale, w_zp = _weight_as_int8(qt)
         else:
@@ -252,6 +276,9 @@ def _grouped_quantized_matmul(x2d, qt: QTensor, bias, out_dtype, groups: int):
     The zero-point algebra and the SVD correction become per-group
     broadcastable terms instead of dense (M, O) bias materializations.
     """
+    if qt.layer is not None:
+        from .tensor import slice_stacked_layer
+        qt = slice_stacked_layer(qt)
     meta = qt.meta
     mfmt = meta.matmul_format
     m = x2d.shape[0]
@@ -336,6 +363,9 @@ def _weight_only_linear_2d(x2d, qt: QTensor, bias, out_dtype):
     Identity used for Hadamard: W_full = W_stored·(I⊗H) rotated back at
     dequant; x @ W_fullᵀ == (x·(I⊗H)) @ W_storedᵀ since H is symmetric
     orthonormal."""
+    if qt.layer is not None:
+        from .tensor import slice_stacked_layer
+        qt = slice_stacked_layer(qt)
     meta = qt.meta
     if meta.use_hadamard:
         x2d = rotate_hadamard(x2d, meta.hadamard_group_size,

@@ -123,9 +123,12 @@ def attention(q, k, v, attn_config: dict | None = None):
     quantized attention path (matmul_dtype etc.; "auto" routes through
     the measured crossover policy in kernels/attention.py)."""
     cfg = attn_config or {}
+    # unconfigured models ride the measured crossover policy ("auto"):
+    # bf16 flash below the int8-QK win regime, int8 QK above it.  An
+    # explicit {"matmul_dtype": None} still forces bf16.
     out = quantized_attention(
         q, k, v,
-        matmul_dtype=cfg.get("matmul_dtype"),
+        matmul_dtype=cfg.get("matmul_dtype", "auto"),
         pv_matmul_dtype=cfg.get("pv_matmul_dtype"),
         smooth_k=cfg.get("smooth_k", False),
         use_hadamard=cfg.get("use_hadamard", False),

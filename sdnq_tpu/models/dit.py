@@ -136,6 +136,26 @@ def init_dit(key, cfg: DiTConfig = FLUX_TINY_CONFIG,
 # Forward
 # ---------------------------------------------------------------------------
 
+def _index_stacked(tree, i):
+    """Per-layer view of a stack_dit_blocks()-stacked block tree.
+
+    QTensor leaves become stacked VIEWS (layer=i): the int8 matmul kernel
+    reads layer i's tiles straight out of the stacked HBM buffer via
+    scalar-prefetch indexing, so the scan never copies weight bytes (XLA
+    materializes any dynamic-slice feeding a custom call — ~1.1 ms/block
+    at Flux width).  Small plain leaves (biases, norm weights, modulation
+    tables) slice normally."""
+    from ..tensor import QTensor
+    return jax.tree_util.tree_map(
+        lambda leaf: (dataclasses.replace(leaf, layer=i)
+                      if isinstance(leaf, QTensor) else leaf[i]),
+        tree, is_leaf=lambda l: isinstance(l, QTensor))
+
+
+def _stack_len(tree) -> int:
+    return jax.tree_util.tree_leaves(tree)[0].shape[0]
+
+
 def _modulation(params, vec, n_chunks):
     out = qlinear(silu(vec), params["linear"]["weight"],
                   params["linear"].get("bias"))
@@ -256,27 +276,29 @@ def dit_forward(params: Params, img: jax.Array, txt: jax.Array,
         side = int(round(n_img ** 0.5))
         freqs = make_rope_freqs(cfg, txt.shape[1], (side, n_img // side))
 
-    def dbody(carry, blk):
-        img, txt = carry
-        return _double_block(blk, img, txt, vec, freqs, cfg,
-                             attn_config), None
-
     tb = params["transformer_blocks"]
     if isinstance(tb, list):
         for blk in tb:
             img, txt = _double_block(blk, img, txt, vec, freqs, cfg,
                                      attn_config)
-    else:  # stacked (stack_dit_blocks): scan -> ONE traced block
+    else:  # stacked (stack_dit_blocks): scan over LAYER INDEX -> one
+        # traced block; weights stay in the closed-over stacked buffers
+        # (QTensor stacked views alias into the matmul kernels; see
+        # _index_stacked)
         if isinstance(tb, dict) and "first" in tb:
             img, txt = _double_block(tb["first"], img, txt, vec, freqs,
                                      cfg, attn_config)
             tb = tb["rest"]
-        (img, txt), _ = jax.lax.scan(dbody, (img, txt), tb)
+
+        def dbody(carry, i):
+            img, txt = carry
+            return _double_block(_index_stacked(tb, i), img, txt, vec,
+                                 freqs, cfg, attn_config), None
+
+        (img, txt), _ = jax.lax.scan(dbody, (img, txt),
+                                     jnp.arange(_stack_len(tb)))
 
     x = jnp.concatenate([txt, img], axis=1)
-
-    def sbody(x, blk):
-        return _single_block(blk, x, vec, freqs, cfg, attn_config), None
 
     sb = params["single_transformer_blocks"]
     if isinstance(sb, list):
@@ -286,7 +308,12 @@ def dit_forward(params: Params, img: jax.Array, txt: jax.Array,
         if isinstance(sb, dict) and "first" in sb:
             x = _single_block(sb["first"], x, vec, freqs, cfg, attn_config)
             sb = sb["rest"]
-        x, _ = jax.lax.scan(sbody, x, sb)
+
+        def sbody(x, i):
+            return _single_block(_index_stacked(sb, i), x, vec, freqs,
+                                 cfg, attn_config), None
+
+        x, _ = jax.lax.scan(sbody, x, jnp.arange(_stack_len(sb)))
     img = x[:, txt.shape[1]:]
 
     shift, scale = _modulation(params["norm_out"], vec, 2)
@@ -338,14 +365,18 @@ def make_staged_dit_forward(cfg: DiTConfig, attn_config: dict | None = None):
                 img, txt = _double_block(blk, img, txt, vec, freqs, cfg,
                                          acfg)
             return img, txt
-        def dbody(carry, blk):
-            i, t = carry
-            return _double_block(blk, i, t, vec, freqs, cfg, acfg), None
         if isinstance(tb, dict) and "first" in tb:
             img, txt = _double_block(tb["first"], img, txt, vec, freqs,
                                      cfg, acfg)
             tb = tb["rest"]
-        (img, txt), _ = jax.lax.scan(dbody, (img, txt), tb)
+
+        def dbody(carry, i):
+            im, t = carry
+            return _double_block(_index_stacked(tb, i), im, t, vec, freqs,
+                                 cfg, acfg), None
+
+        (img, txt), _ = jax.lax.scan(dbody, (img, txt),
+                                     jnp.arange(_stack_len(tb)))
         return img, txt
 
     @jax.jit
@@ -354,12 +385,15 @@ def make_staged_dit_forward(cfg: DiTConfig, attn_config: dict | None = None):
             for blk in sb:
                 x = _single_block(blk, x, vec, freqs, cfg, acfg)
             return x
-        def sbody(h, blk):
-            return _single_block(blk, h, vec, freqs, cfg, acfg), None
         if isinstance(sb, dict) and "first" in sb:
             x = _single_block(sb["first"], x, vec, freqs, cfg, acfg)
             sb = sb["rest"]
-        x, _ = jax.lax.scan(sbody, x, sb)
+
+        def sbody(h, i):
+            return _single_block(_index_stacked(sb, i), h, vec, freqs,
+                                 cfg, acfg), None
+
+        x, _ = jax.lax.scan(sbody, x, jnp.arange(_stack_len(sb)))
         return x
 
     @jax.jit

@@ -157,7 +157,7 @@ def _attn_with_cache(a, x, cfg, positions, cache, layer_idx, attn_cfg):
         q, k_full, v_full,
         attn_mask=mask if mask is not None else None,
         is_causal=(cache is None),
-        matmul_dtype=acfg.get("matmul_dtype"),
+        matmul_dtype=acfg.get("matmul_dtype", "auto"),
         pv_matmul_dtype=acfg.get("pv_matmul_dtype"),
         out_dtype=x.dtype,
         kv_scales=kv_scales)

@@ -207,7 +207,7 @@ def _t5_attention(q, k, v, bias, attn_cfg):
     from ..kernels.attention import quantized_attention
     out = quantized_attention(
         q, k, v, attn_mask=bias, scale=1.0,  # T5: no 1/sqrt(d) scaling
-        matmul_dtype=attn_cfg.get("matmul_dtype"),
+        matmul_dtype=attn_cfg.get("matmul_dtype", "auto"),
         pv_matmul_dtype=attn_cfg.get("pv_matmul_dtype"),
         out_dtype=q.dtype)
     b, h, n, d = out.shape

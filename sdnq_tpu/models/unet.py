@@ -469,4 +469,45 @@ def make_staged_unet_forward(cfg: UNetConfig,
                   "conv_out": params["conv_out"]}
         return head(p_head, h)
 
+    def warm(params, x, timesteps, encoder_hidden_states, added_cond=None):
+        """AOT-compile every stage into the persistent compile cache from
+        ShapeDtypeStruct params — ZERO bytes transferred to the device.
+
+        The tunnel session budget is consumed by transfer + compile time
+        after first device contact (STATUS.md round-4/5 notes: a 3-minute
+        2.9 GB int8-tree transfer followed by the cold down-level compile
+        reproducibly kills the worker).  Splitting the work lets a warm-up
+        process do all the cold compiles with no transfer, and the timed
+        process start from cache hits (cross-process reuse measured
+        76.5 s -> 14.8 s in round 4)."""
+        abstract = jax.tree_util.tree_map(
+            lambda l: (l if isinstance(l, jax.ShapeDtypeStruct)
+                       else jax.ShapeDtypeStruct(
+                           jnp.shape(l), jnp.result_type(l))),
+            (params, x, timesteps, encoder_hidden_states, added_cond))
+        params, x, timesteps, ctx, added_cond = abstract
+        p_embed = {"time_embedding": params["time_embedding"],
+                   "conv_in": params["conv_in"]}
+        if "add_embedding" in params:
+            p_embed["add_embedding"] = params["add_embedding"]
+        embed.lower(p_embed, x, timesteps, added_cond).compile()
+        h, temb = jax.eval_shape(embed, p_embed, x, timesteps, added_cond)
+        skips = [h]
+        for blk in params["down_blocks"]:
+            down_level.lower(blk, h, temb, ctx).compile()
+            h, new = jax.eval_shape(down_level, blk, h, temb, ctx)
+            skips.extend(new)
+        mid.lower(params["mid_block"], h, temb, ctx).compile()
+        h = jax.eval_shape(mid, params["mid_block"], h, temb, ctx)
+        for blk in params["up_blocks"]:
+            n = len(blk["resnets"])
+            lvl_skips, skips = tuple(skips[-n:]), skips[:-n]
+            up_level.lower(blk, h, temb, ctx, lvl_skips).compile()
+            h = jax.eval_shape(up_level, blk, h, temb, ctx, lvl_skips)
+        p_head = {"conv_norm_out": params["conv_norm_out"],
+                  "conv_out": params["conv_out"]}
+        head.lower(p_head, h).compile()
+        return jax.eval_shape(head, p_head, h)
+
+    forward.warm = warm
     return forward

@@ -78,7 +78,8 @@ class QuantMeta:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["qdata", "scale", "zero_point", "svd_up", "svd_down"],
+    data_fields=["qdata", "scale", "zero_point", "svd_up", "svd_down",
+                 "layer"],
     meta_fields=["meta"],
 )
 @dataclasses.dataclass
@@ -89,6 +90,15 @@ class QTensor:
     svd_up: jax.Array | None
     svd_down: jax.Array | None
     meta: QuantMeta
+    # Stacked-layer view (models.dit scan path): when set, qdata/scale/
+    # zero_point/svd_* carry a LEADING layer axis (meta still describes one
+    # layer) and ``layer`` is the traced index to read.  The int8 matmul
+    # kernel consumes the stacked buffer directly via scalar-prefetch
+    # BlockSpec indexing — no per-iteration dynamic-slice copy of the
+    # weight bytes (XLA cannot alias a sliced operand into a custom call).
+    # Paths without stacked kernel support slice explicitly
+    # (layers._slice_stacked_layer), matching the old scan behavior.
+    layer: jax.Array | None = None
 
     @property
     def shape(self) -> tuple[int, ...]:
@@ -298,6 +308,24 @@ def quantize_tensor(
                    svd_up=svd_up, svd_down=svd_down, meta=meta)
 
 
+def slice_stacked_layer(qt: QTensor) -> QTensor:
+    """Materialize one layer of a stacked-view QTensor (``qt.layer``) as a
+    plain QTensor — the explicit dynamic-slice fallback for paths without
+    stacked-kernel support.  Equivalent in cost to what ``lax.scan``'s xs
+    slicing did before the stacked view existed (one weight copy)."""
+    if qt.layer is None:
+        return qt
+    i = qt.layer
+
+    def sel(a):
+        return None if a is None else a[i]
+
+    return dataclasses.replace(
+        qt, qdata=qt.qdata[i], scale=qt.scale[i],
+        zero_point=sel(qt.zero_point), svd_up=sel(qt.svd_up),
+        svd_down=sel(qt.svd_down), layer=None)
+
+
 # ---------------------------------------------------------------------------
 # Dequantize QTensor -> full-precision weight (reference: dequantizer.py:89-111).
 # ---------------------------------------------------------------------------
@@ -317,6 +345,7 @@ def _unpacked_values(qt: QTensor) -> jax.Array:
 
 def dequantize(qt: QTensor, dtype=None, *, with_svd: bool = True,
                with_hadamard: bool = True) -> jax.Array:
+    qt = slice_stacked_layer(qt)
     meta = qt.meta
     if dtype is None:
         dtype = jnp.dtype(meta.dequant_dtype)

@@ -154,3 +154,31 @@ def test_dynamic_quantization_model_level():
     img, txt, t, pooled, g, freqs = _inputs(cfg, seed=2)
     out = dit_forward(qp, img, txt, t, pooled, cfg, guidance=g, freqs=freqs)
     assert bool(jnp.isfinite(out).all())
+
+
+def test_stacked_view_kernel_path_matches_list(monkeypatch):
+    """Stacked QTensor VIEWS (layer=i scalar-prefetch indexing into the
+    stacked int8 buffer — no per-scan-step weight copy) match the
+    unstacked list bit-for-bit under interpret mode."""
+    monkeypatch.setenv("SDNQ_TPU_KERNEL_BACKEND", "interpret")
+    from sdnq_tpu.models import stack_dit_blocks
+    cfg = FLUX_TINY_CONFIG
+    params = init_dit(jax.random.key(0), cfg)
+    qp, _ = quantize_model(
+        params, QuantConfig(weights_dtype="int8",
+                            use_quantized_matmul=True,
+                            dequant_dtype="float32"),
+        arch="FluxTransformer2DModel")
+    img, txt, t, pooled, g, freqs = _inputs(cfg)
+    # jit BOTH sides: eager-vs-jit f32 op ordering shifts values near int8
+    # rounding boundaries of the in-kernel activation quantize, which is
+    # amplification noise unrelated to the stacked view under test
+    ref = jax.jit(lambda p, i: dit_forward(p, i, txt, t, pooled, cfg,
+                                           guidance=g, freqs=freqs))(
+        qp, img)
+    stacked = stack_dit_blocks(qp)
+    out = jax.jit(lambda p, i: dit_forward(p, i, txt, t, pooled, cfg,
+                                           guidance=g, freqs=freqs))(
+        stacked, img)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3,
+                               rtol=2e-3)

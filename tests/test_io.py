@@ -134,3 +134,28 @@ def test_check_tree_coverage_exact_and_mismatch():
                         optional=("opt",))
     check_tree_coverage({"a": {"w": 0}, "blocks": [{"w": 0}, {"w": 0}]},
                         exp, optional=("a.b",))
+
+
+def test_device_put_packed_roundtrip():
+    """Single-buffer tree transfer (utils/transfer.py) is bit-exact for
+    mixed-dtype trees including packed QTensors."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from sdnq_tpu import quantize_tensor
+    from sdnq_tpu.utils.transfer import device_put_packed
+    rng = np.random.default_rng(0)
+    tree = {
+        "f32": jnp.asarray(rng.normal(size=(17,)).astype(np.float32)),
+        "bf16": jnp.asarray(rng.normal(size=(3, 5)).astype(np.float32))
+            .astype(jnp.bfloat16),
+        "i8": jnp.asarray(rng.integers(-100, 100, (9,)), jnp.int8),
+        "q": quantize_tensor(
+            jnp.asarray(rng.normal(size=(64, 128)).astype(np.float32)),
+            "int4", group_size=32),
+        "scalar": jnp.float32(2.5),
+    }
+    out = device_put_packed(tree, jax.devices()[0])
+    assert jax.tree_util.tree_all(jax.tree_util.tree_map(
+        lambda x, y: bool((np.asarray(x) == np.asarray(y)).all()),
+        tree, out))
